@@ -1,0 +1,92 @@
+"""Slow pure-jnp oracle renderer: per-pixel evaluation of all Gaussians.
+
+This is the test oracle for the fast tiled/Pallas path (SURVEY.md §4:
+"kernel tests — Pallas rasterizer vs. a slow pure-jnp reference rasterizer").
+It is O(P * H * W) and fully differentiable via lax.scan, so jax.grad of it
+also provides golden gradients for the custom VJP.
+
+Compositing semantics (matching the fast path; see tile_kernel.py for the
+deliberate, bounded deviation from forward.cu:344-352):
+- alpha = min(0.99, opacity * exp(power)); contributions with power > 0 or
+  alpha < 1/255 are skipped (forward.cu:336-346),
+- a Gaussian contributes to a pixel only while the pixel's transmittance
+  before it satisfies T > 1e-4 (the reference instead skips the Gaussian
+  that would push T*(1-alpha) below 1e-4; the color difference is bounded
+  by 1e-4 per channel),
+- a Gaussian affects a pixel only if the pixel's tile lies inside the
+  Gaussian's 3-sigma tile rect (tile-granular cutoff, as in the reference's
+  binning) — pass tile dims to reproduce the tiled footprint exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gsplat_tpu.raster.project import Preprocessed, tile_rect
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+
+def _clamp_passthrough(x, hi):
+    """min(x, hi) in the forward, identity in the backward.
+
+    The reference backward ignores the 0.99 alpha clamp when chaining
+    dL/dalpha to opacity and power (backward.cu:477-481); this helper
+    reproduces that so the oracle's autodiff matches the Pallas VJP.
+    """
+    return x + jax.lax.stop_gradient(jnp.minimum(x, hi) - x)
+
+
+def blend_pixels(order, proc: Preprocessed, px, py, bg,
+                 tile_x: int, tile_y: int, grid_x: int, grid_y: int):
+    """Composite depth-ordered Gaussians over a set of pixels.
+
+    Args:
+      order: [P] int32 depth-ascending Gaussian ordering (invisible last).
+      proc: Preprocessed quantities.
+      px, py: [...,] pixel-center coordinates (float).
+      bg: [3] background color.
+    Returns (color [..., 3], final_T [...]).
+    """
+    min_x, min_y, max_x, max_y = tile_rect(
+        proc.xy, proc.radius, tile_x, tile_y, grid_x, grid_y)
+    ptx = (px / tile_x).astype(jnp.int32)
+    pty = (py / tile_y).astype(jnp.int32)
+
+    def body(carry, g):
+        T, C = carry
+        in_rect = ((ptx >= min_x[g]) & (ptx < max_x[g]) &
+                   (pty >= min_y[g]) & (pty < max_y[g]) & proc.visible[g])
+        dx = px - proc.xy[g, 0]
+        dy = py - proc.xy[g, 1]
+        a, b, c = proc.conic[g, 0], proc.conic[g, 1], proc.conic[g, 2]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+        alpha = _clamp_passthrough(proc.opacity[g] * jnp.exp(power), ALPHA_MAX)
+        ok = in_rect & (power <= 0.0) & (alpha >= ALPHA_MIN) & (T > T_EPS)
+        alpha = jnp.where(ok, alpha, 0.0)
+        C = C + proc.rgb[g] * (alpha * T)[..., None]
+        T = T * (1.0 - alpha)
+        return (T, C), None
+
+    T0 = jnp.ones(px.shape, dtype=jnp.float32)
+    C0 = jnp.zeros(px.shape + (3,), dtype=jnp.float32)
+    (T, C), _ = lax.scan(body, (T0, C0), order)
+    color = C + T[..., None] * bg
+    return color, T
+
+
+def render_naive(proc: Preprocessed, width: int, height: int, bg,
+                 tile_x: int = 8, tile_y: int = 8):
+    """Render the full image with the oracle. Returns ([H, W, 3], final_T)."""
+    grid_x = -(-width // tile_x)
+    grid_y = -(-height // tile_y)
+    order = jnp.argsort(proc.depth)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    return blend_pixels(order, proc, px, py, jnp.asarray(bg, jnp.float32),
+                        tile_x, tile_y, grid_x, grid_y)

@@ -1,0 +1,262 @@
+"""Pallas TPU kernel: per-tile front-to-back alpha compositing + custom VJP.
+
+TPU-native replacement for the reference's tile rasterization kernels
+(forward: cuda_rasterizer/forward.cu:261-377, backward:
+cuda_rasterizer/backward.cu:399-557). Architecture is completely different
+from the CUDA version — designed for the VPU/MXU and XLA's static shapes:
+
+- Duplicates (Gaussian x tile pairs, depth-sorted within each tile) are laid
+  out contiguously with each tile's list padded to a multiple of CHUNK
+  (see ``rasterize.pad_tile_lists``). The kernel grid runs over chunks;
+  Pallas pipelines the per-chunk feature DMA automatically.
+- Each grid step composites CHUNK Gaussians into its tile's [N_PIX] pixel
+  block. Consecutive chunks of one tile revisit the same output block, which
+  stays resident in VMEM (accumulation pattern); per-tile carries
+  (log-transmittance, backward prefix sums) live in scratch and are reset at
+  each tile's first chunk.
+- Compositing is vectorized over the chunk: instead of a per-Gaussian
+  sequential loop, transmittance is a parallel prefix-sum of log(1-alpha)
+  along the chunk axis (log-shift scan), and color accumulation is an MXU
+  matmul — no atomics, no warp scheduling.
+- The backward pass re-runs the forward scan front-to-back (recompute
+  strategy; residuals are just the forward's output image) and emits
+  per-duplicate gradients; reduction to per-Gaussian gradients is a
+  scatter-add performed by XLA autodiff through the gather in rasterize.py.
+
+Per-duplicate features are 16 floats (lane-padded):
+  [0:6]  quadratic form coefficients over LOCAL pixel coords (px, py):
+         power = c0*px^2 + c1*py^2 + c2*px*py + c3*px + c4*py + c5
+  [6:9]  rgb
+  [9]    opacity
+  [10:]  zero padding
+The feature array is stored transposed, [16, K], so chunk blocks are
+(16, CHUNK) = full 128-lane tiles.
+
+Compositing semantics match raster/naive.py (alpha clamped to 0.99, skipped
+below 1/255 or when power > 0, pixel stops accepting contributions once its
+transmittance T <= 1e-4; the 0.99 clamp is a gradient pass-through, exactly
+like backward.cu:477-481).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+NUM_FEAT = 16  # padded feature rows
+
+
+def _basis(n_pix: int, tile_x: int):
+    """Local-pixel-coordinate basis columns, each [N_PIX, 1] f32."""
+    idx = lax.broadcasted_iota(jnp.int32, (n_pix, 1), 0)
+    px = (idx % tile_x).astype(jnp.float32)
+    py = (idx // tile_x).astype(jnp.float32)
+    return px * px, py * py, px * py, px, py
+
+
+def _scan_rows(x, exclusive: bool):
+    """Prefix sum along axis=1 (the chunk axis) via log-shift doubling."""
+    n = x.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    shift = 1
+    while shift < n:
+        rolled = jnp.roll(acc, shift, axis=1)
+        acc = acc + jnp.where(col >= shift, rolled, 0.0)
+        shift *= 2
+    return acc - x if exclusive else acc
+
+
+def _alphas(feat, basis, logt):
+    """Shared forward math: per-(pixel, gaussian) alpha/transmittance.
+
+    feat: (NUM_FEAT, CHUNK); basis: tuple of (N,1); logt: (N,1) carry.
+    Returns dict of (N, CHUNK) arrays + (3, CHUNK) rgb + updated logt (N,1).
+    """
+    px2, py2, pxpy, px, py = basis
+    c = [feat[i : i + 1, :] for i in range(6)]  # each (1, CHUNK)
+    power = (px2 * c[0] + py2 * c[1] + pxpy * c[2] + px * c[3] + py * c[4]) + c[5]
+    opa = feat[9:10, :]  # (1, CHUNK)
+    g_exp = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, opa * g_exp)
+    alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+    l1m = jnp.log1p(-alpha)
+    cum_e = logt + _scan_rows(l1m, exclusive=True)
+    t_g = jnp.exp(cum_e)
+    gate = (t_g > T_EPS).astype(jnp.float32)
+    w = alpha * t_g * gate
+    logt_new = logt + jnp.sum(l1m * gate, axis=1, keepdims=True)
+    rgb = feat[6:9, :]
+    return dict(power=power, g_exp=g_exp, alpha=alpha, t_g=t_g, gate=gate,
+                w=w, rgb=rgb, opa=opa, logt_new=logt_new)
+
+
+def _fwd_kernel(chunk_tile, chunk_first, feat_ref, c_ref, t_ref, logt_ref,
+                *, n_pix: int, tile_x: int):
+    k = pl.program_id(0)
+
+    @pl.when(chunk_first[k] != 0)
+    def _():
+        c_ref[...] = jnp.zeros_like(c_ref)
+        logt_ref[...] = jnp.zeros_like(logt_ref)
+
+    basis = _basis(n_pix, tile_x)
+    v = _alphas(feat_ref[...], basis, logt_ref[...])
+    # C[p, ch] += sum_g w[p, g] * rgb[ch, g]  — MXU matmul.
+    contrib = lax.dot_general(v["w"], v["rgb"], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (N, 3)
+    c_ref[...] = c_ref[...] + contrib[None]
+    logt_ref[...] = v["logt_new"]
+    t_ref[...] = jnp.exp(v["logt_new"])[None]
+
+
+def _bwd_kernel(chunk_tile, chunk_first, feat_ref, cres_ref, tres_ref,
+                dc_ref, dt_ref, dfeat_ref, logt_ref, accum_ref,
+                *, n_pix: int, tile_x: int):
+    k = pl.program_id(0)
+
+    @pl.when(chunk_first[k] != 0)
+    def _():
+        logt_ref[...] = jnp.zeros_like(logt_ref)
+        accum_ref[...] = jnp.zeros_like(accum_ref)
+
+    basis = _basis(n_pix, tile_x)
+    feat = feat_ref[...]
+    v = _alphas(feat, basis, logt_ref[...])
+    dc = dc_ref[0]   # (N, 3)
+    dt = dt_ref[0]   # (N, 1)
+    cres = cres_ref[0]  # (N, 3)
+    tres = tres_ref[0]  # (N, 1)
+
+    # Per-pixel total downstream dot: D = <dC, C_final> + dT * T_final.
+    d_tot = jnp.sum(dc * cres, axis=1, keepdims=True) + dt * tres  # (N, 1)
+    # A[p, g] = <dC[p], rgb[g]>
+    a_pg = lax.dot_general(dc, v["rgb"], (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)  # (N, CHUNK)
+    aw = a_pg * v["w"]
+    cum_in = accum_ref[...] + _scan_rows(aw, exclusive=False)
+    s = d_tot - cum_in  # suffix contributions incl. the T_final term
+    alpha = v["alpha"]
+    live = (alpha > 0.0).astype(jnp.float32)
+    dalpha = (a_pg * v["t_g"] - s / (1.0 - alpha)) * v["gate"] * live
+    # 0.99-clamp pass-through (backward.cu:477-481): dpower uses opa*exp(power).
+    dpower = dalpha * v["opa"] * v["g_exp"]
+
+    px2, py2, pxpy, px, py = basis
+    ones = jnp.ones_like(px)
+    dcoeff = [jnp.sum(dpower * b, axis=0, keepdims=True)
+              for b in (px2, py2, pxpy, px, py, ones)]  # each (1, CHUNK)
+    # drgb[ch, g] = sum_p dC[p, ch] * w[p, g]
+    drgb = lax.dot_general(dc, v["w"], (((0,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)  # (3, CHUNK)
+    dopa = jnp.sum(v["g_exp"] * dalpha * live, axis=0, keepdims=True)
+    zeros = jnp.zeros((NUM_FEAT - 10, feat.shape[1]), jnp.float32)
+    dfeat_ref[...] = jnp.concatenate(dcoeff + [drgb, dopa, zeros], axis=0)
+
+    logt_ref[...] = v["logt_new"]
+    accum_ref[...] = cum_in[:, -1:]
+
+
+def _common_specs(num_chunks: int, chunk: int, n_pix: int):
+    feat_spec = pl.BlockSpec((NUM_FEAT, chunk), lambda k, ct, cf: (0, k),
+                             memory_space=pltpu.VMEM)
+    img_spec = pl.BlockSpec((1, n_pix, 3), lambda k, ct, cf: (ct[k], 0, 0),
+                            memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((1, n_pix, 1), lambda k, ct, cf: (ct[k], 0, 0),
+                          memory_space=pltpu.VMEM)
+    return feat_spec, img_spec, t_spec
+
+
+def _forward(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
+             tile_x: int, chunk: int, interpret: bool):
+    num_chunks = feat.shape[1] // chunk
+    feat_spec, img_spec, t_spec = _common_specs(num_chunks, chunk, n_pix)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[feat_spec],
+        out_specs=[img_spec, t_spec],
+        scratch_shapes=[pltpu.VMEM((n_pix, 1), jnp.float32)],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((num_tiles, n_pix, 3), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles, n_pix, 1), jnp.float32),
+    ]
+    kernel = functools.partial(_fwd_kernel, n_pix=n_pix, tile_x=tile_x)
+    c_img, t_img = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+    )(chunk_tile, chunk_first, feat)
+    return c_img, t_img
+
+
+def _backward(feat, chunk_tile, chunk_first, c_img, t_img, dc, dt,
+              num_tiles: int, n_pix: int, tile_x: int, chunk: int,
+              interpret: bool):
+    num_chunks = feat.shape[1] // chunk
+    feat_spec, img_spec, t_spec = _common_specs(num_chunks, chunk, n_pix)
+    dfeat_spec = pl.BlockSpec((NUM_FEAT, chunk), lambda k, ct, cf: (0, k),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[feat_spec, img_spec, t_spec, img_spec, t_spec],
+        out_specs=[dfeat_spec],
+        scratch_shapes=[pltpu.VMEM((n_pix, 1), jnp.float32),
+                        pltpu.VMEM((n_pix, 1), jnp.float32)],
+    )
+    kernel = functools.partial(_bwd_kernel, n_pix=n_pix, tile_x=tile_x)
+    (dfeat,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(feat.shape, jnp.float32)],
+        interpret=interpret,
+    )(chunk_tile, chunk_first, feat, c_img, t_img, dc, dt)
+    return dfeat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def tile_blend(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
+               tile_x: int, chunk: int, interpret: bool = False):
+    """Composite padded duplicate lists into per-tile pixel blocks.
+
+    Args:
+      feat: [NUM_FEAT, K_padded] f32, K_padded a multiple of ``chunk``; each
+        tile's duplicates contiguous, depth-sorted, zero rows as padding.
+      chunk_tile: [K_padded // chunk] int32, tile id of each chunk
+        (non-decreasing).
+      chunk_first: [K_padded // chunk] int32, 1 where a chunk is its tile's
+        first.
+    Returns:
+      (color [num_tiles, n_pix, 3] — premultiplied, no background,
+       transmittance [num_tiles, n_pix, 1]).
+    """
+    return _forward(feat, chunk_tile, chunk_first, num_tiles, n_pix, tile_x,
+                    chunk, interpret)
+
+
+def _tile_blend_fwd(feat, chunk_tile, chunk_first, num_tiles, n_pix, tile_x,
+                    chunk, interpret):
+    c_img, t_img = _forward(feat, chunk_tile, chunk_first, num_tiles, n_pix,
+                            tile_x, chunk, interpret)
+    return (c_img, t_img), (feat, chunk_tile, chunk_first, c_img, t_img)
+
+
+def _tile_blend_bwd(num_tiles, n_pix, tile_x, chunk, interpret, res, grads):
+    feat, chunk_tile, chunk_first, c_img, t_img = res
+    dc, dt = grads
+    dfeat = _backward(feat, chunk_tile, chunk_first, c_img, t_img, dc, dt,
+                      num_tiles, n_pix, tile_x, chunk, interpret)
+    zero_i = np.zeros(chunk_tile.shape, dtype=jax.dtypes.float0)
+    return (dfeat, zero_i, zero_i)
+
+
+tile_blend.defvjp(_tile_blend_fwd, _tile_blend_bwd)

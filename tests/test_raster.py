@@ -1,0 +1,140 @@
+"""Rasterizer tests: Pallas tiled path vs. the pure-jnp oracle
+(SURVEY.md §4(b) kernel tests and §4(c) gradient checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu.core.camera import make_camera
+from gsplat_tpu.core.quaternion import normalize
+from gsplat_tpu.raster import naive, project
+from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
+
+WIDTH, HEIGHT = 128, 96
+SH_DEGREE = 1
+
+
+def make_scene(p=300, seed=0, opa_hi=6.0):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-1.2, 1.2, size=(p, 3)).astype(np.float32)
+    means[:, 2] = rng.uniform(2.0, 6.0, size=p)
+    scales = np.exp(rng.uniform(-3.5, -1.5, size=(p, 3))).astype(np.float32)
+    quats = rng.normal(size=(p, 4)).astype(np.float32)
+    # raw opacity logits; activated below
+    opa = rng.uniform(-2.0, opa_hi, size=(p,)).astype(np.float32)
+    shs = (0.3 * rng.normal(size=(p, (SH_DEGREE + 1) ** 2, 3))).astype(np.float32)
+    shs[:, 0, :] += 1.0
+    return (jnp.asarray(means), jnp.asarray(scales),
+            normalize(jnp.asarray(quats)), jax.nn.sigmoid(jnp.asarray(opa)),
+            jnp.asarray(shs))
+
+
+def make_cam():
+    # look at origin from z=-2... keep the simple identity pose, points at +z
+    return make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, WIDTH, HEIGHT)
+
+
+SETTINGS = RasterizeSettings(k_dup=65536, tile_x=16, tile_y=16, chunk=128,
+                             interpret=True)
+BG = jnp.asarray([0.2, 0.3, 0.4])
+
+
+def run_fast(params, cam):
+    means, scales, quats, opa, shs = params
+    return rasterize(means, scales, quats, opa, shs, cam, SH_DEGREE, BG,
+                     SETTINGS)
+
+
+def run_oracle_image(params, cam):
+    means, scales, quats, opa, shs = params
+    proc = project.preprocess(means, scales, quats, opa, shs, cam, SH_DEGREE)
+    img, final_t = naive.render_naive(proc, cam.width, cam.height, BG,
+                                      tile_x=SETTINGS.tile_x,
+                                      tile_y=SETTINGS.tile_y)
+    return img, final_t
+
+
+def test_forward_matches_oracle():
+    params = make_scene()
+    cam = make_cam()
+    out = run_fast(params, cam)
+    ref_img, ref_t = run_oracle_image(params, cam)
+    assert int(out.num_dup) <= SETTINGS.k_dup
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(ref_img),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.final_t), np.asarray(ref_t),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_forward_saturated_pixels():
+    """High-opacity scene hits the 0.99 alpha clamp and the T<1e-4 early
+    stop; fast path must still match the oracle."""
+    params = make_scene(p=400, seed=1, opa_hi=40.0)
+    cam = make_cam()
+    out = run_fast(params, cam)
+    ref_img, ref_t = run_oracle_image(params, cam)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(ref_img),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.final_t), np.asarray(ref_t),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_empty_scene_is_background():
+    params = make_scene(p=16)
+    means, scales, quats, opa, shs = params
+    cam = make_cam()
+    out = rasterize(means, scales, quats, jnp.zeros_like(opa), shs, cam,
+                    SH_DEGREE, BG, SETTINGS)
+    np.testing.assert_allclose(
+        np.asarray(out.image),
+        np.broadcast_to(np.asarray(BG), (HEIGHT, WIDTH, 3)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.final_t), 1.0, atol=1e-6)
+
+
+def test_radii_and_visibility():
+    params = make_scene()
+    means, scales, quats, opa, shs = params
+    # push half the gaussians behind the camera
+    means = means.at[::2, 2].set(-5.0)
+    cam = make_cam()
+    out = rasterize(means, scales, quats, opa, shs, cam, SH_DEGREE, BG,
+                    SETTINGS)
+    radii = np.asarray(out.radii)
+    assert np.all(radii[::2] == 0)
+    assert np.any(radii[1::2] > 0)
+    assert np.array_equal(np.asarray(out.is_used), radii > 0)
+
+
+@pytest.mark.parametrize("seed,opa_hi", [(0, 6.0), (3, 40.0)])
+def test_gradients_match_oracle(seed, opa_hi):
+    params = make_scene(p=150, seed=seed, opa_hi=opa_hi)
+    cam = make_cam()
+    key = jax.random.PRNGKey(7)
+    probe = jax.random.normal(key, (HEIGHT, WIDTH, 3))
+
+    def loss_fast(*p):
+        return jnp.sum(run_fast(p, cam).image * probe)
+
+    def loss_oracle(*p):
+        return jnp.sum(run_oracle_image(p, cam)[0] * probe)
+
+    v_fast, g_fast = jax.value_and_grad(loss_fast, argnums=(0, 1, 2, 3, 4))(*params)
+    v_ref, g_ref = jax.value_and_grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(*params)
+    np.testing.assert_allclose(float(v_fast), float(v_ref), rtol=1e-4)
+    names = ["means", "scales", "quats", "opacity", "shs"]
+    for name, gf, gr in zip(names, g_fast, g_ref):
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        scale = np.abs(gr).max() + 1e-8
+        np.testing.assert_allclose(gf / scale, gr / scale, atol=2e-4,
+                                   err_msg=f"grad mismatch for {name}")
+
+
+def test_dup_overflow_reported():
+    params = make_scene(p=300)
+    cam = make_cam()
+    tiny = RasterizeSettings(k_dup=256, tile_x=16, tile_y=16, chunk=128,
+                             interpret=True)
+    means, scales, quats, opa, shs = params
+    out = rasterize(means, scales, quats, opa, shs, cam, SH_DEGREE, BG, tiny)
+    assert int(out.num_dup) > tiny.k_dup  # overflow is visible, not silent
