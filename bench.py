@@ -1,0 +1,99 @@
+"""Benchmark: MCMC training throughput on a synthetic scene, single chip.
+
+Prints ONE JSON line:
+  {"metric": "train_iters_per_sec", "value": N, "unit": "it/s",
+   "vs_baseline": N, ...}
+
+Workload approximates BASELINE gate config #2 (NeRF-Synthetic-Lego-scale
+static MCMC training): 100k alive Gaussians at 800x800, full train step
+(render fwd + bwd + Adam + noise injection) per iteration. No dataset is
+required (zero-egress environment): ground truth images are renders of a
+procedurally generated Gaussian scene.
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
+the anchor is the A100 figure implied by the north-star target
+("≥ A100 iters/sec"): ~30 it/s for a 100k-Gaussian 800x800 MCMC step
+(original 3DGS trains 30k iters in ~15-25 min at this scale).
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_ITERS_PER_SEC = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.core.quaternion import normalize
+    from gsplat_tpu.model import gaussians, optim
+    from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
+    from gsplat_tpu.train import step as step_lib
+    from gsplat_tpu.train.config import OptimizationConfig
+    from __graft_entry__ import _orbit_cameras
+
+    on_cpu = jax.default_backend() == "cpu"
+    # CPU fallback keeps the bench runnable anywhere but tiny.
+    p_gt, p_model, w, h, iters = ((500, 1000, 128, 128, 5) if on_cpu
+                                  else (20_000, 100_000, 800, 800, 50))
+    settings = RasterizeSettings(
+        k_dup=(1 << 15) if on_cpu else 6 * p_model, tile_x=16, tile_y=16,
+        chunk=128, interpret=on_cpu)
+    sh = 3
+    bg = jnp.zeros(3)
+
+    rng = np.random.default_rng(0)
+    gt_scene = (
+        jnp.asarray(rng.uniform(-0.9, 0.9, (p_gt, 3)).astype(np.float32)),
+        jnp.asarray(np.exp(rng.uniform(-3.2, -2.0, (p_gt, 3))).astype(np.float32)),
+        normalize(jnp.asarray(rng.normal(size=(p_gt, 4)).astype(np.float32))),
+        jax.nn.sigmoid(jnp.asarray(rng.uniform(0, 3, p_gt).astype(np.float32))),
+        jnp.asarray(np.concatenate(
+            [rng.uniform(-0.5, 1.5, (p_gt, 1, 3)),
+             np.zeros((p_gt, 15, 3))], 1).astype(np.float32)),
+    )
+    cams = _orbit_cameras(8, w, h)
+    render_gt = jax.jit(lambda c: rasterize(*gt_scene, c, sh, bg,
+                                            settings).image)
+    gts = [render_gt(c) for c in cams]
+
+    pts = rng.uniform(-1, 1, (p_model, 3)).astype(np.float32)
+    state = gaussians.create_from_points(
+        pts, rng.uniform(0, 1, (p_model, 3)).astype(np.float32),
+        capacity=p_model, max_sh_degree=sh)
+    adam = optim.init(state.params())
+    opt = OptimizationConfig()
+    train_step = step_lib.make_train_step(opt, settings, spatial_lr_scale=4.0)
+    keys = jax.random.split(jax.random.PRNGKey(0), iters + 10)
+
+    # warmup / compile
+    state, adam, m = train_step(state, adam, keys[0], cams[0], gts[0], bg,
+                                jnp.asarray(1.0), sh)
+    jax.block_until_ready(m.loss)
+
+    t0 = time.time()
+    for i in range(iters):
+        state, adam, m = train_step(state, adam, keys[i + 1],
+                                    cams[i % len(cams)], gts[i % len(cams)],
+                                    bg, jnp.asarray(float(i + 2)), sh)
+    jax.block_until_ready(m.loss)
+    dt = time.time() - t0
+    its = iters / dt
+
+    print(json.dumps({
+        "metric": "train_iters_per_sec",
+        "value": round(its, 2),
+        "unit": "it/s",
+        "vs_baseline": round(its / A100_BASELINE_ITERS_PER_SEC, 3),
+        "config": {"gaussians": p_model, "image": f"{w}x{h}",
+                   "backend": jax.default_backend(),
+                   "k_dup": settings.k_dup,
+                   "ms_per_iter": round(dt / iters * 1000, 2)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

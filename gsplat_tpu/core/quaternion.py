@@ -18,7 +18,12 @@ _EPS = 1e-12
 
 
 def normalize(v, axis=-1):
-    return v / jnp.linalg.norm(v, axis=axis, keepdims=True)
+    """Unit-normalize with torch.nn.functional.normalize semantics: the norm
+    is clamped at eps, so zero vectors map to zero (finite) instead of NaN —
+    critical for padding rows whose raw quaternion is all-zero (their inf/NaN
+    would otherwise poison reverse-mode AD even under a zero cotangent)."""
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    return v / jnp.sqrt(jnp.maximum(n2, 1e-24))
 
 
 def quat_to_rotmat(q, normalize_q: bool = True):

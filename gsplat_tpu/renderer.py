@@ -1,0 +1,40 @@
+"""High-level render entry — the equivalent of gaussian_renderer.render
+(reference gaussian_renderer/__init__.py:19-102).
+
+Returns the same bundle the reference training loops consume:
+``render`` (image), ``viewspace_points`` (unused by MCMC training — the
+reference returns the dummy grad-holder; we return None), ``visibility_filter``
+(radii > 0), ``radii``, ``is_used``, plus TPU-specific diagnostics
+(``num_dup``). ``deformable_render`` (the SwinGS path,
+gaussian_renderer/__init__.py:105-172) lives in gsplat_tpu.model.swin.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gsplat_tpu.core.camera import CameraParams
+from gsplat_tpu.model.gaussians import GaussianState
+from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
+
+
+def render(camera: CameraParams, state: GaussianState, bg,
+           settings: RasterizeSettings, sh_degree: int | None = None,
+           scale_modifier: float = 1.0):
+    """Render a GaussianState from a camera. sh_degree defaults to the
+    model's max (pass the active degree during progressive SH training)."""
+    deg = state.max_sh_degree if sh_degree is None else sh_degree
+    out = rasterize(
+        state.xyz, state.get_scaling(), state.get_rotation(),
+        state.get_opacity()[:, 0], state.get_features(), camera, deg,
+        jnp.asarray(bg, jnp.float32), settings,
+        scale_modifier=scale_modifier, alive=state.alive_mask)
+    return {
+        "render": out.image,
+        "viewspace_points": None,
+        "visibility_filter": out.radii > 0,
+        "radii": out.radii,
+        "is_used": out.is_used,
+        "num_dup": out.num_dup,
+        "final_t": out.final_t,
+    }

@@ -1,0 +1,127 @@
+"""Jit-compiled training steps for static 3DGS-MCMC.
+
+One fused XLA program per iteration (render -> loss -> backward -> Adam ->
+noise injection), mirroring the reference hot loop train_static.py:63-144 but
+with no host round-trips except the scalar loss fetch. Densification runs as
+a second jitted program every ``densification_interval`` iterations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.core.camera import CameraParams
+from gsplat_tpu.core.schedule import expon_lr
+from gsplat_tpu.model import mcmc, optim
+from gsplat_tpu.model.gaussians import GaussianState
+from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
+from gsplat_tpu.train import losses
+from gsplat_tpu.train.config import OptimizationConfig
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    num_dup: jnp.ndarray
+    psnr: jnp.ndarray
+
+
+def masked_mean(x, mask, count):
+    """Mean over alive rows only (the reference's .mean() runs over tensors
+    that contain exactly the alive rows)."""
+    per_row = jnp.mean(x, axis=tuple(range(1, x.ndim)))
+    return jnp.sum(jnp.where(mask, per_row, 0.0)) / jnp.maximum(count, 1)
+
+
+def make_train_step(opt: OptimizationConfig, settings: RasterizeSettings,
+                    spatial_lr_scale: float):
+    """Build the jitted train step. Static over (sh_degree, camera W/H)."""
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",),
+                       donate_argnames=("state", "adam_state"))
+    def train_step(state: GaussianState, adam_state: optim.AdamState,
+                   key, camera: CameraParams, gt_image, bg, iteration,
+                   sh_degree: int):
+        xyz_lr = expon_lr(
+            iteration,
+            opt.position_lr_init * spatial_lr_scale,
+            opt.position_lr_final * spatial_lr_scale,
+            lr_delay_mult=opt.position_lr_delay_mult,
+            max_steps=opt.position_lr_max_steps)
+        lrs = {
+            "xyz": xyz_lr,
+            "f_dc": opt.feature_lr,
+            "f_rest": opt.feature_lr / 20.0,
+            "opacity": opt.opacity_lr,
+            "scaling": opt.scaling_lr,
+            "rotation": opt.rotation_lr,
+        }
+        alive = state.alive_mask
+        n_alive = state.n_alive
+
+        def loss_fn(params):
+            s = state.replace_params(params)
+            out = rasterize(
+                s.xyz, s.get_scaling(), s.get_rotation(),
+                s.get_opacity()[:, 0], s.get_features(), camera, sh_degree,
+                bg, settings, alive=alive)
+            img = out.image
+            ll1 = losses.l1_loss(img, gt_image)
+            lssim = losses.ssim(img, gt_image)
+            loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - lssim)
+            # regularizers over alive rows (train_static.py:99-100)
+            s_state = state.replace_params(params)
+            loss = loss + opt.opacity_reg * masked_mean(
+                jnp.abs(s_state.get_opacity()), alive, n_alive)
+            loss = loss + opt.scale_reg * masked_mean(
+                jnp.abs(s_state.get_scaling()), alive, n_alive)
+            return loss, (ll1, out.num_dup, img)
+
+        (loss, (ll1, num_dup, img)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params())
+
+        new_params, new_adam = optim.step(state.params(), grads, adam_state, lrs)
+        new_state = state.replace_params(new_params)
+
+        # covariance-shaped noise after the optimizer step (train_static.py:132-140)
+        new_state = mcmc.inject_noise(new_state, key, opt.noise_lr, xyz_lr)
+
+        metrics = StepMetrics(loss=loss, l1=ll1, num_dup=num_dup,
+                              psnr=losses.psnr(jnp.clip(img, 0, 1),
+                                               jnp.clip(gt_image, 0, 1)))
+        return new_state, new_adam, metrics
+
+    return train_step
+
+
+def make_densify_step(cap_max: int):
+    """relocate dead + grow 5% (train_static.py:122-125)."""
+
+    @functools.partial(jax.jit, donate_argnames=("state", "adam_state"))
+    def densify_step(state: GaussianState, adam_state: optim.AdamState, key):
+        k1, k2 = jax.random.split(key)
+        state, adam_state = mcmc.relocate_gs(state, adam_state, k1)
+        state, adam_state = mcmc.add_new_gs(state, adam_state, k2, cap_max)
+        return state, adam_state
+
+    return densify_step
+
+
+def make_eval_step(settings: RasterizeSettings):
+    @functools.partial(jax.jit, static_argnames=("sh_degree",))
+    def eval_step(state: GaussianState, camera: CameraParams, gt_image, bg,
+                  sh_degree: int):
+        out = rasterize(
+            state.xyz, state.get_scaling(), state.get_rotation(),
+            state.get_opacity()[:, 0], state.get_features(), camera,
+            sh_degree, bg, settings, alive=state.alive_mask)
+        img = jnp.clip(out.image, 0.0, 1.0)
+        gt = jnp.clip(gt_image, 0.0, 1.0)
+        return img, losses.l1_loss(img, gt), losses.psnr(img, gt)
+
+    return eval_step

@@ -1,0 +1,232 @@
+"""Static 3DGS-MCMC training entry point.
+
+CLI and behavior mirror the reference train_static.py:212-243 / training()
+(:36-144): per-iteration random camera, L1+SSIM loss with opacity/scale
+regularizers, MCMC relocation + capped growth every densification_interval,
+covariance-shaped noise injection, periodic PSNR eval, PLY saves, and
+checkpoint/resume. The hot loop is one fused jitted XLA program per
+iteration (see gsplat_tpu.train.step).
+
+Note on datasets: the reference's "static" trainer reads a SwinGS video
+dataset through a frame window (SURVEY.md §7 quirks). Here train_static
+trains on any supported dataset; for SwinGS-layout videos pass --frame to
+train one static model for that frame (the run_swin.sh recipe).
+
+Usage:
+  python -m gsplat_tpu.train.train_static -s <dataset> -m <out> --cap_max N
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from random import randint
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.core.camera import CameraParams
+from gsplat_tpu.data.scene import DynamicScene, Scene
+from gsplat_tpu.data.readers import detect_scene_type
+from gsplat_tpu.model import gaussians, optim
+from gsplat_tpu.raster.rasterize import RasterizeSettings
+from gsplat_tpu.train import step as step_lib
+from gsplat_tpu.train.config import (ModelConfig, OptimizationConfig,
+                                     PipelineConfig, add_config_args,
+                                     auto_dup_budget, extract_config,
+                                     save_cfg_args)
+from gsplat_tpu.utils import checkpoint as ckpt_lib
+
+
+def make_settings(pipe: PipelineConfig, cap_max: int) -> RasterizeSettings:
+    return RasterizeSettings(
+        k_dup=auto_dup_budget(cap_max, pipe),
+        tile_x=pipe.tile_x, tile_y=pipe.tile_y, chunk=pipe.chunk,
+        interpret=jax.default_backend() == "cpu")
+
+
+def training(model_cfg: ModelConfig, opt: OptimizationConfig,
+             pipe: PipelineConfig, args) -> dict:
+    if model_cfg.cap_max == -1:
+        print("Please specify the maximum number of Gaussians with --cap_max.")
+        sys.exit(1)
+
+    tb_writer = _prepare_output_and_logger(model_cfg, args)
+
+    scene_type = detect_scene_type(model_cfg.source_path)
+    if scene_type == "SwinGS":
+        dyn = DynamicScene(model_cfg.source_path, model_cfg.model_path,
+                           eval_split=model_cfg.eval,
+                           resolution=model_cfg.resolution,
+                           init_type=model_cfg.init_type,
+                           num_pts=model_cfg.init_pts,
+                           max_frame=model_cfg.max_frame)
+        train_cams = dyn.get_train_cams_at([args.frame])
+        test_cams = dyn.get_test_cams_at([args.frame])
+        info_points, info_colors = dyn.info.points, dyn.info.colors
+        cameras_extent = dyn.cameras_extent
+        scene = dyn
+    else:
+        scene = Scene(model_cfg.source_path, model_cfg.model_path,
+                      images=model_cfg.images, eval_split=model_cfg.eval,
+                      resolution=model_cfg.resolution,
+                      white_background=model_cfg.white_background,
+                      init_type=model_cfg.init_type,
+                      num_pts=model_cfg.init_pts)
+        train_cams, test_cams = scene.train_cameras, scene.test_cameras
+        info_points, info_colors = scene.info.points, scene.info.colors
+        cameras_extent = scene.cameras_extent
+
+    capacity = model_cfg.cap_max
+    n_init = min(info_points.shape[0], capacity)
+    state = gaussians.create_from_points(
+        info_points[:n_init], info_colors[:n_init], capacity,
+        model_cfg.sh_degree)
+    adam = optim.init(state.params())
+
+    first_iter = 0
+    if args.start_checkpoint:
+        state, adam, first_iter, _ = ckpt_lib.load(args.start_checkpoint)
+        print(f"restored checkpoint at iteration {first_iter}")
+
+    settings = make_settings(pipe, capacity)
+    train_step = step_lib.make_train_step(opt, settings, cameras_extent)
+    densify_step = step_lib.make_densify_step(capacity)
+    eval_step = step_lib.make_eval_step(settings)
+
+    bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background
+                     else [0.0, 0.0, 0.0], jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    viewpoint_stack: list = []
+    ema_loss = 0.0
+    last_metrics = None
+    t_start = time.time()
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        sh_degree = min(iteration // 1000, model_cfg.sh_degree)
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(train_cams)
+        cam_obj = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
+        camera, gt = cam_obj.load()
+        gt = jnp.asarray(gt)
+
+        key, k_step, k_bg = jax.random.split(key, 3)
+        step_bg = (jax.random.uniform(k_bg, (3,)) if opt.random_background
+                   else bg)
+        state, adam, metrics = train_step(
+            state, adam, k_step, camera, gt, step_bg,
+            jnp.asarray(iteration, jnp.float32), sh_degree)
+        last_metrics = metrics
+
+        if (opt.densify_from_iter < iteration < opt.densify_until_iter
+                and iteration % opt.densification_interval == 0):
+            key, kd = jax.random.split(key)
+            state, adam = densify_step(state, adam, kd)
+
+        if iteration % 10 == 0:
+            loss = float(metrics.loss)
+            ema_loss = 0.4 * loss + 0.6 * ema_loss
+            if tb_writer:
+                tb_writer.add_scalar("train_loss_patches/l1_loss",
+                                     float(metrics.l1), iteration)
+                tb_writer.add_scalar("train_loss_patches/total_loss", loss,
+                                     iteration)
+        if iteration % 100 == 0:
+            dt = (time.time() - t_start) / min(iteration - first_iter, 100)
+            t_start = time.time()
+            print(f"[ITER {iteration}] loss={float(metrics.loss):.5f} "
+                  f"ema={ema_loss:.5f} psnr={float(metrics.psnr):.2f} "
+                  f"n={int(state.n_alive)} dup={int(metrics.num_dup)}/"
+                  f"{settings.k_dup} {dt * 1000:.1f}ms/it")
+            if int(metrics.num_dup) > settings.k_dup:
+                print(f"  WARNING: duplicate budget overflow "
+                      f"({int(metrics.num_dup)} > {settings.k_dup}); "
+                      "increase --dup_budget")
+
+        if iteration in args.test_iterations and test_cams:
+            _report_eval(tb_writer, eval_step, state, test_cams, bg,
+                         sh_degree, iteration)
+
+        if iteration in args.save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            gaussians.save_ply(state, scene.point_cloud_path(iteration))
+
+        if iteration in args.checkpoint_iterations:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            ckpt_lib.save(os.path.join(model_cfg.model_path,
+                                       f"chkpnt{iteration}.npz"),
+                          state, adam, iteration)
+
+    return {"state": state, "adam": adam,
+            "final_loss": float(last_metrics.loss) if last_metrics else None}
+
+
+def _report_eval(tb_writer, eval_step, state, test_cams, bg, sh_degree,
+                 iteration):
+    l1s, psnrs = [], []
+    for cam_obj in test_cams:
+        camera, gt = cam_obj.load()
+        _, l1, p = eval_step(state, camera, jnp.asarray(gt), bg, sh_degree)
+        l1s.append(float(l1))
+        psnrs.append(float(p))
+    print(f"\n[ITER {iteration}] Evaluating test: L1 {np.mean(l1s):.5f} "
+          f"PSNR {np.mean(psnrs):.2f}")
+    if tb_writer:
+        tb_writer.add_scalar("test/loss_viewpoint - l1_loss",
+                             float(np.mean(l1s)), iteration)
+        tb_writer.add_scalar("test/loss_viewpoint - psnr",
+                             float(np.mean(psnrs)), iteration)
+
+
+def _prepare_output_and_logger(model_cfg: ModelConfig, args):
+    if not model_cfg.model_path:
+        import uuid
+
+        model_cfg.model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
+        args.model_path = model_cfg.model_path
+    print(f"Output folder: {model_cfg.model_path}")
+    save_cfg_args(model_cfg.model_path, args)
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(model_cfg.model_path)
+    except ImportError:
+        print("Tensorboard not available: not logging progress")
+        return None
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Training script parameters")
+    add_config_args(parser, ModelConfig())
+    add_config_args(parser, OptimizationConfig())
+    add_config_args(parser, PipelineConfig())
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=list(range(2_000, 30_000, 1_000)))
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=list(range(5_000, 30_000, 5_000)))
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--frame", type=int, default=0)
+    args = parser.parse_args(argv)
+    args.save_iterations.append(args.iterations)
+
+    model_cfg = extract_config(args, ModelConfig)
+    opt = extract_config(args, OptimizationConfig)
+    pipe = extract_config(args, PipelineConfig)
+    print("Optimizing " + model_cfg.model_path)
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+    training(model_cfg, opt, pipe, args)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Model-layer tests: KNN, Adam parity vs torch, relocation math, MCMC ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.model import gaussians, knn, mcmc, optim
+
+
+def test_knn_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(257, 3)).astype(np.float32)
+    got = np.asarray(knn.mean_sq_dist_3nn(jnp.asarray(pts), block=64))
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    expected = np.sort(d2, axis=1)[:, :3].mean(1)
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_adam_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(1)
+    x0 = rng.normal(size=(5, 3)).astype(np.float32)
+    g = rng.normal(size=(5, 3)).astype(np.float32)
+
+    xt = torch.tensor(x0, requires_grad=True)
+    topt = torch.optim.Adam([xt], lr=1e-2, eps=1e-15)
+    params = {"xyz": jnp.asarray(x0)}
+    st = optim.init(params)
+    for i in range(5):
+        xt.grad = torch.tensor(g) * (i + 1)
+        topt.step()
+        params, st = optim.step(params, {"xyz": jnp.asarray(g) * (i + 1)}, st,
+                                {"xyz": 1e-2})
+    np.testing.assert_allclose(np.asarray(params["xyz"]),
+                               xt.detach().numpy(), atol=1e-6)
+
+
+def test_zero_moments_at():
+    params = {"a": jnp.ones((4, 2))}
+    st = optim.init(params)
+    params, st = optim.step(params, {"a": jnp.ones((4, 2))}, st, {"a": 0.1})
+    st = optim.zero_moments_at(st, jnp.asarray([True, False, True, False]))
+    mu = np.asarray(st.mu["a"])
+    assert np.all(mu[0] == 0) and np.all(mu[2] == 0)
+    assert np.all(mu[1] != 0) and np.all(mu[3] != 0)
+
+
+def _reference_relocation(o_old, s_old, N):
+    """Direct double-loop port of cuda_rasterizer/utils.cu:6-36."""
+    from scipy.special import comb
+
+    o_new = 1 - (1 - o_old) ** (1.0 / N)
+    denom = 0.0
+    for i in range(1, N + 1):
+        for k in range(0, i):
+            denom += comb(i - 1, k) * ((-1) ** k / np.sqrt(k + 1)) * o_new ** (k + 1)
+    return o_new, (o_old / denom) * s_old
+
+
+def test_compute_relocation_matches_reference_series():
+    for o in [0.05, 0.3, 0.9, 0.999]:
+        for n in [1, 2, 5, 17, 50]:
+            o_new, s_new = mcmc.compute_relocation(
+                jnp.asarray([o]), jnp.asarray([[1.0, 2.0, 3.0]]),
+                jnp.asarray([n]))
+            o_ref, s_ref = _reference_relocation(o, np.array([1.0, 2.0, 3.0]), n)
+            np.testing.assert_allclose(float(o_new[0]), o_ref, rtol=1e-4)
+            np.testing.assert_allclose(np.asarray(s_new[0]), s_ref, rtol=2e-4)
+
+
+def test_relocation_n1_identity():
+    """N=1: opacity unchanged, scale unchanged (denom = o_new)."""
+    o_new, s_new = mcmc.compute_relocation(
+        jnp.asarray([0.7]), jnp.asarray([[0.5, 0.5, 0.5]]), jnp.asarray([1]))
+    np.testing.assert_allclose(float(o_new[0]), 0.7, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_new[0]), [0.5, 0.5, 0.5], rtol=1e-5)
+
+
+def _make_state(n=20, capacity=64, seed=0, sh_degree=1):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    colors = rng.uniform(0.2, 0.8, size=(n, 3)).astype(np.float32)
+    return gaussians.create_from_points(pts, colors, capacity, sh_degree)
+
+
+def test_create_from_points():
+    st = _make_state()
+    assert int(st.n_alive) == 20
+    assert st.capacity == 64
+    # opacity activates to 0.5 exactly
+    np.testing.assert_allclose(np.asarray(st.get_opacity())[:20], 0.5,
+                               atol=1e-6)
+    # rotation is identity quaternion
+    np.testing.assert_allclose(np.asarray(st.rotation)[:20, 0], 1.0)
+    # scaling is isotropic and finite
+    s = np.asarray(st.get_scaling())[:20]
+    assert np.all(np.isfinite(s)) and np.all(s > 0)
+    assert np.allclose(s[:, 0], s[:, 1])
+
+
+def test_relocate_moves_dead_to_alive():
+    st = _make_state(n=20)
+    # make rows 0..4 dead (opacity below threshold)
+    opa = np.array(st.opacity)
+    opa[:5] = gaussians.inverse_sigmoid(jnp.asarray(0.001))
+    import dataclasses
+    st = dataclasses.replace(st, opacity=jnp.asarray(opa))
+    adam = optim.init(st.params())
+    st2, adam2 = mcmc.relocate_gs(st, adam, jax.random.PRNGKey(0))
+    new_opa = np.asarray(st2.get_opacity())[:20, 0]
+    assert np.all(new_opa[:5] >= 0.005 - 1e-6), "dead rows were not revived"
+    assert int(st2.n_alive) == 20
+    # dead rows teleported onto template positions
+    xyz2 = np.asarray(st2.xyz)[:5]
+    xyz_alive = np.asarray(st.xyz)[5:20]
+    for row in xyz2:
+        assert np.any(np.all(np.isclose(row, xyz_alive, atol=1e-6), axis=1))
+
+
+def test_add_new_grows_five_percent():
+    st = _make_state(n=40, capacity=64)
+    adam = optim.init(st.params())
+    st2, _ = mcmc.add_new_gs(st, adam, jax.random.PRNGKey(1), cap_max=64)
+    assert int(st2.n_alive) == 42  # floor(1.05 * 40)
+    # new rows are clones of existing positions
+    xyz_new = np.asarray(st2.xyz)[40:42]
+    xyz_old = np.asarray(st.xyz)[:40]
+    for row in xyz_new:
+        assert np.any(np.all(np.isclose(row, xyz_old, atol=1e-6), axis=1))
+
+
+def test_add_new_respects_cap():
+    st = _make_state(n=40, capacity=64)
+    adam = optim.init(st.params())
+    st2, _ = mcmc.add_new_gs(st, adam, jax.random.PRNGKey(1), cap_max=41)
+    assert int(st2.n_alive) == 41
+
+
+def test_inject_noise_only_transparent():
+    st = _make_state(n=20)
+    import dataclasses
+    opa = np.array(st.opacity)
+    opa[:10] = gaussians.inverse_sigmoid(jnp.asarray(0.999))  # opaque: no noise
+    opa[10:20] = gaussians.inverse_sigmoid(jnp.asarray(0.001))  # transparent
+    st = dataclasses.replace(st, opacity=jnp.asarray(opa))
+    st2 = mcmc.inject_noise(st, jax.random.PRNGKey(2), noise_lr=5e4,
+                            xyz_lr=1e-4)
+    delta = np.abs(np.asarray(st2.xyz) - np.asarray(st.xyz)).max(axis=1)
+    assert np.all(delta[:10] < 1e-5), "opaque gaussians should barely move"
+    assert np.all(delta[10:20] > 1e-5), "transparent gaussians should move"
+    assert np.all(delta[20:] == 0.0), "padding rows must not move"

@@ -1,0 +1,105 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4(f)):
+data-parallel training step == single-device step over the same batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu.core.camera import make_camera
+from gsplat_tpu.model import gaussians, optim
+from gsplat_tpu.parallel.dp import make_dp_train_step, stack_cameras
+from gsplat_tpu.parallel.mesh import make_mesh
+from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
+from gsplat_tpu.train.config import OptimizationConfig
+
+SH = 1
+SETTINGS = RasterizeSettings(k_dup=8192, tile_x=16, tile_y=16, chunk=128,
+                             interpret=True)
+BG = jnp.zeros(3)
+W = H = 32
+
+
+def _cams(n):
+    cams = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        fwd = np.array([-np.sin(th), 0.0, np.cos(th)])
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        Rcw = np.stack([right, up, fwd], 1)
+        t = -Rcw.T @ (-fwd * 3.0)
+        cams.append(make_camera(Rcw, t, 0.9, 0.9, W, H))
+    return cams
+
+
+def test_dp_train_step_runs_and_matches_mean_grad():
+    n_dev = jax.device_count()
+    assert n_dev == 8, "conftest should fake 8 cpu devices"
+    mesh = make_mesh(n_dev)
+
+    rng = np.random.default_rng(0)
+    state = gaussians.create_from_points(
+        rng.uniform(-1, 1, (32, 3)).astype(np.float32),
+        rng.uniform(0, 1, (32, 3)).astype(np.float32),
+        capacity=64, max_sh_degree=SH)
+    adam = optim.init(state.params())
+
+    cams = _cams(n_dev)
+    gts = jnp.stack([
+        rasterize(state.xyz, state.get_scaling(), state.get_rotation(),
+                  state.get_opacity()[:, 0], state.get_features(), c, SH,
+                  BG, SETTINGS, alive=state.alive_mask).image * 0.5
+        for c in cams])
+    cam_batch = stack_cameras(cams)
+
+    opt = OptimizationConfig()
+    build = make_dp_train_step(mesh, opt, SETTINGS, spatial_lr_scale=1.0)
+    step = build(SH)
+    key = jax.random.PRNGKey(0)
+    new_state, new_adam, metrics = step(
+        jax.tree.map(jnp.copy, state), optim.init(state.params()), key,
+        cam_batch, gts, BG, 1.0)
+    assert np.isfinite(float(metrics.loss))
+    assert np.all(np.isfinite(np.asarray(new_state.xyz)))
+
+    # Cross-check against an explicit single-device mean-of-grads step.
+    from gsplat_tpu.train import losses
+    from gsplat_tpu.train.step import masked_mean
+
+    def loss_one(params, cam, gt):
+        s = state.replace_params(params)
+        out = rasterize(s.xyz, s.get_scaling(), s.get_rotation(),
+                        s.get_opacity()[:, 0], s.get_features(), cam, SH,
+                        BG, SETTINGS, alive=s.alive_mask)
+        ll1 = losses.l1_loss(out.image, gt)
+        lssim = losses.ssim(out.image, gt)
+        loss = (1 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1 - lssim)
+        loss = loss + opt.opacity_reg * masked_mean(
+            jnp.abs(s.get_opacity()), s.alive_mask, s.n_alive)
+        loss = loss + opt.scale_reg * masked_mean(
+            jnp.abs(s.get_scaling()), s.alive_mask, s.n_alive)
+        return loss
+
+    grads = [jax.grad(loss_one)(state.params(), c, g)
+             for c, g in zip(cams, gts)]
+    mean_grads = jax.tree.map(lambda *g: sum(g) / len(g), *grads)
+    from gsplat_tpu.core.schedule import expon_lr
+
+    xyz_lr = expon_lr(1.0, opt.position_lr_init, opt.position_lr_final,
+                      lr_delay_mult=opt.position_lr_delay_mult,
+                      max_steps=opt.position_lr_max_steps)
+    lrs = {"xyz": xyz_lr, "f_dc": opt.feature_lr,
+           "f_rest": opt.feature_lr / 20.0, "opacity": opt.opacity_lr,
+           "scaling": opt.scaling_lr, "rotation": opt.rotation_lr}
+    ref_params, _ = optim.step(state.params(), mean_grads,
+                               optim.init(state.params()), lrs)
+    from gsplat_tpu.model import mcmc
+
+    ref_state = state.replace_params(ref_params)
+    ref_state = mcmc.inject_noise(ref_state, key, opt.noise_lr, xyz_lr)
+    for name in ["xyz", "scaling", "rotation", "opacity"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_state, name)),
+            np.asarray(getattr(ref_state, name)), atol=1e-5,
+            err_msg=f"DP mismatch in {name}")
