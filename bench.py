@@ -59,6 +59,7 @@ def main():
     render_gt = jax.jit(lambda c: rasterize(*gt_scene, c, sh, bg,
                                             settings).image)
     gts = [render_gt(c) for c in cams]
+    jax.block_until_ready(gts[-1]); print("stage: gt rendered")
 
     pts = rng.uniform(-1, 1, (p_model, 3)).astype(np.float32)
     state = gaussians.create_from_points(
@@ -70,9 +71,11 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(0), iters + 10)
 
     # warmup / compile
+    print("stage: model init done, compiling train step")
     state, adam, m = train_step(state, adam, keys[0], cams[0], gts[0], bg,
                                 jnp.asarray(1.0), sh)
     jax.block_until_ready(m.loss)
+    print("stage: warm")
 
     t0 = time.time()
     for i in range(iters):

@@ -1,0 +1,85 @@
+"""Full evaluation sweep: train + render + metrics over the standard suites.
+
+Parity with the reference full_eval.py:15-75: MipNeRF-360 (9 scenes, outdoor
+@ images_4 / indoor @ images_2), Tanks&Temples (truck, train), Deep Blending
+(drjohnson, playroom); 7k + 30k checkpoints. The reference invokes a
+non-existent train.py (SURVEY.md §7 quirks); here the working trainer module
+is called directly, and Deep Blending gets the paper-recommended
+opacity_reg 0.001 (README.md:28-29).
+
+Usage:
+  python -m gsplat_tpu.eval.full_eval --mipnerf360 <dir> --tanksandtemples
+         <dir> --deepblending <dir> [--output_path <dir>] [--skip_training]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+MIPNERF360_OUTDOOR = ["bicycle", "flowers", "garden", "stump", "treehill"]
+MIPNERF360_INDOOR = ["room", "counter", "kitchen", "bonsai"]
+TANKS_AND_TEMPLES = ["truck", "train"]
+DEEP_BLENDING = ["drjohnson", "playroom"]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--skip_training", action="store_true")
+    parser.add_argument("--skip_rendering", action="store_true")
+    parser.add_argument("--skip_metrics", action="store_true")
+    parser.add_argument("--output_path", default="./eval")
+    parser.add_argument("--mipnerf360", "-m360", default="")
+    parser.add_argument("--tanksandtemples", "-tat", default="")
+    parser.add_argument("--deepblending", "-db", default="")
+    parser.add_argument("--cap_max", type=int, default=1_000_000)
+    args = parser.parse_args(argv)
+
+    jobs = []  # (scene, source, extra_train_flags)
+    if args.mipnerf360:
+        for s in MIPNERF360_OUTDOOR:
+            jobs.append((s, os.path.join(args.mipnerf360, s),
+                         ["-i", "images_4"]))
+        for s in MIPNERF360_INDOOR:
+            jobs.append((s, os.path.join(args.mipnerf360, s),
+                         ["-i", "images_2"]))
+    if args.tanksandtemples:
+        for s in TANKS_AND_TEMPLES:
+            jobs.append((s, os.path.join(args.tanksandtemples, s), []))
+    if args.deepblending:
+        for s in DEEP_BLENDING:
+            jobs.append((s, os.path.join(args.deepblending, s),
+                         ["--opacity_reg", "0.001"]))
+
+    common = ["--quiet", "--eval", "--test_iterations", "7000", "30000",
+              "--save_iterations", "7000", "30000",
+              "--init_type", "sfm", "--cap_max", str(args.cap_max),
+              "--scale_reg", "0.01", "--opacity_reg", "0.01",
+              "--noise_lr", "500000"]
+
+    if not args.skip_training:
+        from gsplat_tpu.train.train_static import main as train_main
+
+        for scene, source, extra in jobs:
+            out = os.path.join(args.output_path, scene)
+            train_main(["-s", source, "-m", out] + common + extra)
+
+    if not args.skip_rendering:
+        from gsplat_tpu.eval.render import main as render_main
+
+        for scene, source, extra in jobs:
+            out = os.path.join(args.output_path, scene)
+            for iteration in (7000, 30000):
+                render_main(["-s", source, "-m", out, "--iteration",
+                             str(iteration), "--skip_train", "--eval",
+                             "--cap_max", str(args.cap_max)] +
+                            [a for a in extra if not a.startswith("--opacity")])
+
+    if not args.skip_metrics:
+        from gsplat_tpu.eval.metrics import evaluate
+
+        evaluate([os.path.join(args.output_path, s) for s, _, _ in jobs])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Evaluation metrics over rendered image trees.
+
+Parity with the reference metrics.py:36-103: walks
+{model}/test/ours_*/[renders|gt], computes per-view SSIM / PSNR / LPIPS-vgg,
+writes results.json + per_view.json with the same schema. LPIPS degrades to
+null when no weights are available (zero-egress environment — see
+gsplat_tpu.eval.lpips).
+
+Usage: python -m gsplat_tpu.eval.metrics -m <model_path> [<model_path> ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.eval.lpips import LPIPSUnavailable, lpips
+from gsplat_tpu.train import losses
+
+
+def read_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB")).astype(np.float32) / 255.0
+
+
+def evaluate_dir(renders_dir: str, gt_dir: str):
+    names = sorted(os.listdir(renders_dir))
+    ssim_fn = jax.jit(losses.ssim)
+    psnr_fn = jax.jit(losses.psnr)
+    ssims, psnrs, lpipss = [], [], []
+    lpips_ok = True
+    for name in names:
+        render = jnp.asarray(read_image(os.path.join(renders_dir, name)))
+        gt = jnp.asarray(read_image(os.path.join(gt_dir, name)))
+        ssims.append(float(ssim_fn(render, gt)))
+        psnrs.append(float(psnr_fn(render, gt)))
+        if lpips_ok:
+            try:
+                lpipss.append(float(lpips(render, gt, net="vgg")))
+            except LPIPSUnavailable:
+                lpips_ok = False
+    return names, ssims, psnrs, (lpipss if lpips_ok else None)
+
+
+def evaluate(model_paths):
+    for scene_dir in model_paths:
+        print("Scene:", scene_dir)
+        full_dict, per_view_dict = {}, {}
+        test_dir = os.path.join(scene_dir, "test")
+        try:
+            methods = sorted(os.listdir(test_dir))
+        except FileNotFoundError:
+            print("  no test renders found — run gsplat_tpu.eval.render first")
+            continue
+        for method in methods:
+            print("Method:", method)
+            method_dir = os.path.join(test_dir, method)
+            names, ssims, psnrs, lpipss = evaluate_dir(
+                os.path.join(method_dir, "renders"),
+                os.path.join(method_dir, "gt"))
+            print(f"  SSIM : {np.mean(ssims):>12.7f}")
+            print(f"  PSNR : {np.mean(psnrs):>12.7f}")
+            if lpipss is not None:
+                print(f"  LPIPS: {np.mean(lpipss):>12.7f}")
+            else:
+                print("  LPIPS: (weights unavailable)")
+            full_dict[method] = {
+                "SSIM": float(np.mean(ssims)),
+                "PSNR": float(np.mean(psnrs)),
+                "LPIPS": float(np.mean(lpipss)) if lpipss else None,
+            }
+            per_view_dict[method] = {
+                "SSIM": dict(zip(names, ssims)),
+                "PSNR": dict(zip(names, psnrs)),
+                "LPIPS": dict(zip(names, lpipss)) if lpipss else None,
+            }
+        with open(os.path.join(scene_dir, "results.json"), "w") as f:
+            json.dump(full_dict, f, indent=True)
+        with open(os.path.join(scene_dir, "per_view.json"), "w") as f:
+            json.dump(per_view_dict, f, indent=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_paths", "-m", required=True, nargs="+")
+    args = parser.parse_args(argv)
+    evaluate(args.model_paths)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,17 +5,20 @@ TPU-native replacement for the reference's CUB pipeline
 duplicateWithKeys -> 64-bit radix sort -> identifyTileRanges.
 
 Design (SURVEY.md §2d): JAX shapes must be static, so instead of allocating
-``num_rendered`` duplicates we fix a duplicate budget ``K_dup`` and expand
-Gaussian->tile pairs with the searchsorted trick:
+``num_rendered`` duplicates we fix a duplicate budget ``k_dup``. Overflow is
+reported, never silent (``num_dup`` vs k_dup).
 
-  offsets = exclusive_cumsum(tiles_touched)
-  for each duplicate slot d:  g = searchsorted(offsets, d) - 1
-                              r = d - offsets[g]   (r-th tile of g's rect)
-
-Pairs are sorted by (tile_id, depth) with XLA's variadic sort (the
-replacement for DeviceRadixSort), and per-tile ranges are recovered by
-searchsorted over the sorted tile ids. Overflow beyond K_dup is reported,
-never silent (`num_dup` vs K_dup; callers should grow the budget).
+TPU performance notes:
+- Element-wise gather/scatter/searchsorted are the enemy. Every
+  variable-length range lookup is a SCATTER of O(P) range-start markers
+  followed by a cumulative max (a vectorized prefix scan):
+      owner(d)      = cummax_d( scatter(g          at offsets[g]) )
+      range_base(d) = cummax_d( scatter(offsets[g] at offsets[g]) )
+- Tile-list padding (each tile's duplicate list padded to a CHUNK multiple
+  for the Pallas kernel) is fused INTO the sort: per tile we append up to
+  CHUNK pad candidates with depth=+inf, so the sorted order IS the padded
+  layout and the downstream kernel needs no indirection at all — one packed
+  row-gather by sorted gaussian id produces the kernel's feature stream.
 """
 
 from __future__ import annotations
@@ -29,48 +32,97 @@ from gsplat_tpu.raster.project import Preprocessed, tile_rect
 
 
 class Binning(NamedTuple):
-    gid: jnp.ndarray          # [K_dup] int32 gaussian index per sorted duplicate
-    tile_starts: jnp.ndarray  # [grid_x*grid_y + 1] int32 range starts
-    num_dup: jnp.ndarray      # [] int32 true duplicate count (overflow if > K_dup)
-    radius: jnp.ndarray       # [P] int32 radius with empty-rect Gaussians zeroed
+    gid: jnp.ndarray          # [K_slots] int32 gaussian id per padded sorted
+                              # slot; == P for padding slots
+    tile_of_slot: jnp.ndarray  # [K_slots] int32 tile id (clamped)
+    chunk_tile: jnp.ndarray   # [K_slots/chunk] int32 tile per kernel chunk
+    chunk_first: jnp.ndarray  # [K_slots/chunk] int32 1 at a tile's 1st chunk
+    num_dup: jnp.ndarray      # [] int32 true duplicate count (overflow if > k_dup)
+    radius: jnp.ndarray       # [P] int32 radius, empty-rect Gaussians zeroed
                               # (matches forward.cu:236-237 early-out)
 
 
+def _owner_scan(starts, values, k: int, fill):
+    """For each slot d in [0, k): the value scattered at the largest
+    range-start <= d. Rows with start >= k are dropped."""
+    marks = jnp.full((k,), fill, values.dtype).at[starts].max(values,
+                                                              mode="drop")
+    return lax.cummax(marks)
+
+
+def num_slots(k_dup: int, num_tiles: int, chunk: int) -> int:
+    """Static padded slot count: budget + one pad chunk per tile."""
+    return (-(-k_dup // chunk)) * chunk + num_tiles * chunk
+
+
 def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
-                  grid_x: int, grid_y: int, k_dup: int) -> Binning:
-    """Expand visible Gaussians into depth-sorted per-tile duplicate lists."""
+                  grid_x: int, grid_y: int, k_dup: int,
+                  chunk: int = 128) -> Binning:
+    """Expand visible Gaussians into depth-sorted, chunk-padded per-tile
+    duplicate lists."""
     p = proc.xy.shape[0]
     num_tiles = grid_x * grid_y
 
     min_x, min_y, max_x, max_y = tile_rect(
         proc.xy, proc.radius, tile_x, tile_y, grid_x, grid_y)
     rect_w = max_x - min_x
-    rect_h = max_y - min_y
-    counts = jnp.where(proc.visible, rect_w * rect_h, 0).astype(jnp.int32)
+    counts = jnp.where(proc.visible, rect_w * (max_y - min_y), 0
+                       ).astype(jnp.int32)
     radius = jnp.where(counts > 0, proc.radius, 0)
 
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(counts, dtype=jnp.int32)])
     num_dup = offsets[-1]
 
+    # --- duplicate expansion: slot -> owning gaussian via marker scans ---
+    g_ids = jnp.arange(p, dtype=jnp.int32)
+    starts = jnp.where(counts > 0, offsets[:p], k_dup)  # >= k_dup => dropped
+    g_of_d = _owner_scan(starts, g_ids, k_dup, jnp.int32(0))
+    base_of_d = _owner_scan(starts, offsets[:p], k_dup, jnp.int32(0))
     d = jnp.arange(k_dup, dtype=jnp.int32)
-    g = jnp.searchsorted(offsets, d, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, p - 1)
-    r = d - offsets[g]
-    w = jnp.maximum(rect_w[g], 1)
-    tx = min_x[g] + r % w
-    ty = min_y[g] + r // w
-    tile_id = ty * grid_x + tx
+    r = d - base_of_d
+
+    # packed per-gaussian rect/depth table -> one row gather
+    table = jnp.stack([min_x.astype(jnp.float32), min_y.astype(jnp.float32),
+                       jnp.maximum(rect_w, 1).astype(jnp.float32),
+                       proc.depth], axis=1)  # [P, 4]
+    rows = table[g_of_d]  # [k_dup, 4]
+    w = rows[:, 2].astype(jnp.int32)
+    tile_id = ((rows[:, 1].astype(jnp.int32) + r // w) * grid_x
+               + rows[:, 0].astype(jnp.int32) + r % w)
+    depth = rows[:, 3]
+
     valid = d < num_dup
-    tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
+    dup_tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
 
-    # Two-key sort: (tile, depth), carrying the gaussian id — the XLA
-    # equivalent of sorting packed [tile|depth-bits] 64-bit keys.
-    tile_key_sorted, _, gid_sorted = lax.sort(
-        (tile_key, proc.depth[g], g), dimension=0, num_keys=2)
+    # --- per-tile pad candidates so sorted order is chunk-aligned ---
+    # len_t via histogram; pads_t = round_up(max(len_t,1), chunk) - len_t
+    len_t = jnp.zeros((num_tiles,), jnp.int32).at[dup_tile_key].add(
+        valid.astype(jnp.int32), mode="drop")
+    pads_t = (-(-jnp.maximum(len_t, 1) // chunk)) * chunk - len_t  # [0,chunk]
+    pad_j = jnp.tile(jnp.arange(chunk, dtype=jnp.int32), num_tiles)
+    pad_tile = jnp.repeat(jnp.arange(num_tiles, dtype=jnp.int32), chunk)
+    pad_key = jnp.where(pad_j < pads_t[pad_tile], pad_tile, num_tiles)
 
-    tile_starts = jnp.searchsorted(
-        tile_key_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32),
-        side="left").astype(jnp.int32)
-    return Binning(gid=gid_sorted, tile_starts=tile_starts,
+    k_aligned = (-(-k_dup // chunk)) * chunk
+    dup_pad = k_aligned - k_dup  # align the budget itself
+    all_keys = jnp.concatenate([
+        dup_tile_key, jnp.full((dup_pad,), num_tiles, jnp.int32), pad_key])
+    all_depth = jnp.concatenate([
+        depth, jnp.full((dup_pad + num_tiles * chunk,), jnp.inf, jnp.float32)])
+    all_gid = jnp.concatenate([
+        jnp.where(valid, g_of_d, p),  # sentinel for unused budget slots
+        jnp.full((dup_pad + num_tiles * chunk,), p, jnp.int32)])
+
+    key_sorted, _, gid_sorted = lax.sort(
+        (all_keys, all_depth, all_gid), dimension=0, num_keys=2)
+
+    tile_of_slot = jnp.minimum(key_sorted, num_tiles - 1)
+    chunk_tile = tile_of_slot[::chunk]
+    chunk_first = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])
+
+    return Binning(gid=gid_sorted, tile_of_slot=tile_of_slot,
+                   chunk_tile=chunk_tile, chunk_first=chunk_first,
                    num_dup=num_dup, radius=radius)

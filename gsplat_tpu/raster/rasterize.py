@@ -8,6 +8,13 @@ settings; outputs are the rendered image, per-Gaussian screen radii and an
 opacities, SHs (and colors/cov3D when precomputed) — the chain rules the
 reference hand-writes in backward.cu come from XLA autodiff around the
 Pallas tile-blend custom-VJP op.
+
+Layout strategy (performance-critical, see binning.py): the sort emits
+duplicate lists already padded to CHUNK multiples per tile, so the kernel
+feature stream is ONE packed row-gather by sorted gaussian id plus
+elementwise math in LOCAL tile coordinates (fp32-exact at any image size).
+The backward of that gather is the per-gaussian gradient scatter-add that
+replaces the reference's atomicAdd reduction (backward.cu:523-554).
 """
 
 from __future__ import annotations
@@ -49,62 +56,39 @@ class RasterizeOutput(NamedTuple):
     final_t: jnp.ndarray   # [H, W] final transmittance
 
 
-def _pad_tile_lists(tile_starts, num_tiles: int, k_dup: int, chunk: int):
-    """Pad each tile's duplicate range to a CHUNK multiple (>= 1 chunk).
-
-    Returns (pos [k_dup] target slot per sorted duplicate, chunk_tile,
-    chunk_first, k_padded). Static size k_padded = k_dup rounded up plus one
-    chunk per tile (worst-case padding) plus one spare chunk.
-    """
-    k_padded = (-(-k_dup // chunk) + num_tiles + 1) * chunk
-    num_chunks = k_padded // chunk
-
-    len_t = tile_starts[1:] - tile_starts[:-1]
-    padded_len = -(-jnp.maximum(len_t, 1) // chunk) * chunk
-    padded_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_len, dtype=jnp.int32)])
-
-    d = jnp.arange(k_dup, dtype=jnp.int32)
-    tile_of = jnp.clip(
-        jnp.searchsorted(tile_starts, d, side="right").astype(jnp.int32) - 1,
-        0, num_tiles - 1)
-    pos = padded_starts[tile_of] + (d - tile_starts[tile_of])
-
-    offs = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
-    chunk_tile = jnp.clip(
-        jnp.searchsorted(padded_starts, offs, side="right").astype(jnp.int32) - 1,
-        0, num_tiles - 1)
-    chunk_first = (offs == padded_starts[chunk_tile]).astype(jnp.int32)
-    return pos, tile_of, chunk_tile, chunk_first, k_padded
-
-
-def _dup_features(proc, gid, tile_of, valid, grid_x: int,
-                  tile_x: int, tile_y: int):
-    """Per-duplicate packed features [K_dup, 16] (differentiable gather).
+def _slot_features(proc, gid, tile_of_slot, grid_x: int,
+                   tile_x: int, tile_y: int):
+    """[16, K_slots] kernel feature stream via one packed row-gather.
 
     The quadratic form is expanded over LOCAL pixel coordinates (pixel -
     tile origin) so fp32 stays accurate at large image sizes:
-      power = -0.5*a*dx^2 - 0.5*c*dy^2 - b*dx*dy,  dx = px - x, dy = py - y
-    with px = origin_x + px_local  =>  coefficients over (px_local, py_local).
+      power = -0.5*a*dx^2 - 0.5*c*dy^2 - b*dx*dy,  dx = px - x, dy = py - y.
+    Padding slots (gid == P) get all-zero features => alpha 0 in the kernel.
     """
-    x = proc.xy[gid, 0] - (tile_of % grid_x).astype(jnp.float32) * tile_x
-    y = proc.xy[gid, 1] - (tile_of // grid_x).astype(jnp.float32) * tile_y
-    a = proc.conic[gid, 0]
-    b = proc.conic[gid, 1]
-    c = proc.conic[gid, 2]
-    c0 = -0.5 * a
-    c1 = -0.5 * c
-    c2 = -b
-    c3 = a * x + b * y
-    c4 = c * y + b * x
-    c5 = -0.5 * (a * x * x + c * y * y) - b * x * y
-    rgb = proc.rgb[gid]
-    opa = proc.opacity[gid]
+    p = proc.xy.shape[0]
+    table = jnp.stack([
+        proc.xy[:, 0], proc.xy[:, 1],
+        proc.conic[:, 0], proc.conic[:, 1], proc.conic[:, 2],
+        proc.opacity, proc.rgb[:, 0], proc.rgb[:, 1], proc.rgb[:, 2],
+    ], axis=1)  # [P, 9] (differentiable)
+
+    valid = gid < p
+    rows = table[jnp.minimum(gid, p - 1)]  # [K_slots, 9]
+
+    ox = (tile_of_slot % grid_x).astype(jnp.float32) * tile_x
+    oy = (tile_of_slot // grid_x).astype(jnp.float32) * tile_y
+    x = rows[:, 0] - ox
+    y = rows[:, 1] - oy
+    a, b, c = rows[:, 2], rows[:, 3], rows[:, 4]
     zeros = jnp.zeros_like(a)
-    feat = jnp.stack(
-        [c0, c1, c2, c3, c4, c5, rgb[:, 0], rgb[:, 1], rgb[:, 2], opa,
-         zeros, zeros, zeros, zeros, zeros, zeros], axis=0)  # [16, K_dup]
-    return jnp.where(valid[None, :], feat, 0.0)
+    feat = jnp.stack([
+        -0.5 * a, -0.5 * c, -b,
+        a * x + b * y, c * y + b * x,
+        -0.5 * (a * x * x + c * y * y) - b * x * y,
+        rows[:, 6], rows[:, 7], rows[:, 8], rows[:, 5],
+        zeros, zeros, zeros, zeros, zeros, zeros,
+    ], axis=0)  # [16, K_slots]
+    return feat * valid.astype(jnp.float32)[None, :]
 
 
 def rasterize(
@@ -129,21 +113,13 @@ def rasterize(
     proc_ng = jax.tree.map(lax.stop_gradient, proc)
     binn = binning_lib.bin_gaussians(
         proc_ng, tile_x=s.tile_x, tile_y=s.tile_y,
-        grid_x=grid_x, grid_y=grid_y, k_dup=s.k_dup)
+        grid_x=grid_x, grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk)
 
-    pos, tile_of, chunk_tile, chunk_first, k_padded = _pad_tile_lists(
-        binn.tile_starts, num_tiles, s.k_dup, s.chunk)
-
-    valid = jnp.arange(s.k_dup, dtype=jnp.int32) < binn.num_dup
-    feat = _dup_features(proc, binn.gid, tile_of, valid, grid_x,
-                         s.tile_x, s.tile_y)
-    feat_padded = (
-        jnp.zeros((tile_kernel.NUM_FEAT, k_padded), jnp.float32)
-        .at[:, jnp.where(valid, pos, k_padded)]
-        .set(feat, mode="drop"))
+    feat = _slot_features(proc, binn.gid, binn.tile_of_slot, grid_x,
+                          s.tile_x, s.tile_y)
 
     c_img, t_img = tile_kernel.tile_blend(
-        feat_padded, chunk_tile, chunk_first, num_tiles, n_pix,
+        feat, binn.chunk_tile, binn.chunk_first, num_tiles, n_pix,
         s.tile_x, s.chunk, s.interpret)
 
     # Assemble tile-major buffers into the image and composite background.

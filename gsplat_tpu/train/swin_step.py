@@ -1,0 +1,132 @@
+"""Jit-compiled training steps for sliding-window (SwinGS) training.
+
+Mirrors the train_slide_window iteration body (reference
+train_swin.py:148-273): frame-indexed deformable render of the
+immature+matured union, L1+SSIM with MCMC regularizers over the ACTIVE set,
+Adam over nine parameter groups (incl. rigid motion), noise injection on the
+active immature subset, per-birth-frame relocation and genesis-only growth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gsplat_tpu.core.camera import CameraParams
+from gsplat_tpu.core.schedule import expon_lr
+from gsplat_tpu.model import optim, swin
+from gsplat_tpu.model.swin import SwinState
+from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
+from gsplat_tpu.train import losses
+from gsplat_tpu.train.config import OptimizationConfig
+
+
+class SwinMetrics(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    num_dup: jnp.ndarray
+    psnr: jnp.ndarray
+    n_active: jnp.ndarray
+
+
+def _masked_mean(x, mask, axis_dims: int = 1):
+    per_row = jnp.mean(x, axis=tuple(range(1, x.ndim))) if x.ndim > 1 else x
+    cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    return jnp.sum(jnp.where(mask, per_row, 0.0)) / cnt
+
+
+def make_swin_train_step(opt: OptimizationConfig,
+                         settings: RasterizeSettings,
+                         spatial_lr_scale: float):
+    @functools.partial(jax.jit, static_argnames=("sh_degree",),
+                       donate_argnames=("state", "adam"))
+    def swin_train_step(state: SwinState, adam: optim.AdamState, key,
+                        camera: CameraParams, gt_image, bg, iteration,
+                        frame, sh_degree: int):
+        xyz_lr = expon_lr(
+            iteration,
+            opt.position_lr_init * spatial_lr_scale,
+            opt.position_lr_final * spatial_lr_scale,
+            lr_delay_mult=opt.position_lr_delay_mult,
+            max_steps=opt.position_lr_max_steps)
+        lrs = {
+            "xyz": xyz_lr,
+            "f_dc": opt.feature_lr,
+            "f_rest": opt.feature_lr / 20.0,
+            "opacity": opt.opacity_lr,
+            "scaling": opt.scaling_lr,
+            "rotation": opt.rotation_lr,
+            "rigid_v": opt.rigid_v_lr,
+            "rigid_rotvec": opt.rigid_rotvec_lr,
+            "rigid_rotcen": opt.rigid_rotcen_lr,
+        }
+
+        def loss_fn(params):
+            s = state.replace_params(params)
+            kw = swin.union_params_at(s, frame)
+            out = rasterize(kw["means3d"], kw["scales"], kw["quats"],
+                            kw["opacities"], kw["shs"], camera, sh_degree,
+                            bg, settings, alive=kw["alive"])
+            img = out.image
+            ll1 = losses.l1_loss(img, gt_image)
+            lssim = losses.ssim(img, gt_image)
+            loss = (1 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1 - lssim)
+            # MCMC regularizers over the ACTIVE union set
+            # (train_swin.py:177-178 uses render_ret['input_gaussians'])
+            active = kw["alive"]
+            loss = loss + opt.opacity_reg * _masked_mean(
+                jnp.abs(kw["opacities"]), active)
+            loss = loss + opt.scale_reg * _masked_mean(
+                jnp.abs(kw["scales"]), active)
+            n_active = jnp.sum(active.astype(jnp.int32))
+            return loss, (ll1, out.num_dup, img, n_active)
+
+        (loss, (ll1, num_dup, img, n_active)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params())
+        new_params, new_adam = optim.step(state.params(), grads, adam, lrs)
+        new_state = state.replace_params(new_params)
+        new_state = swin.inject_noise_active(new_state, key, opt.noise_lr,
+                                             xyz_lr, frame)
+        return new_state, new_adam, SwinMetrics(
+            loss=loss, l1=ll1, num_dup=num_dup,
+            psnr=losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt_image, 0, 1)),
+            n_active=n_active)
+
+    return swin_train_step
+
+
+def make_swin_densify_step(cap_max: int, window_size: int):
+    @functools.partial(jax.jit, static_argnames=("genesis",),
+                       donate_argnames=("state", "adam"))
+    def densify(state: SwinState, adam: optim.AdamState, key, window_start,
+                genesis: bool):
+        k1, k2 = jax.random.split(key)
+        state, adam = swin.relocate_immature(state, adam, k1, window_start,
+                                             window_size=window_size)
+        if genesis:  # growth only during genesis (train_swin.py:233-234)
+            state, adam = swin.add_new_gs(state, adam, k2, cap_max)
+        return state, adam
+
+    return densify
+
+
+def make_swin_eval_step(settings: RasterizeSettings):
+    @functools.partial(jax.jit, static_argnames=("sh_degree",))
+    def eval_step(state: SwinState, camera: CameraParams, gt_image, bg,
+                  frame, sh_degree: int):
+        kw = swin.union_params_at(state, frame)
+        out = rasterize(kw["means3d"], kw["scales"], kw["quats"],
+                        kw["opacities"], kw["shs"], camera, sh_degree, bg,
+                        settings, alive=kw["alive"])
+        img = jnp.clip(out.image, 0.0, 1.0)
+        gt = jnp.clip(gt_image, 0.0, 1.0)
+        return img, losses.l1_loss(img, gt), losses.psnr(img, gt)
+
+    return eval_step
+
+
+mature_and_rollover_jit = jax.jit(swin.mature_and_rollover,
+                                  donate_argnames=("state", "adam"))

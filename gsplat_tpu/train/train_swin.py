@@ -1,0 +1,247 @@
+"""Sliding-window (SwinGS) dynamic-scene training entry point.
+
+Mirrors the reference train_swin.py:275-380 / train_slide_window(:118-273):
+genesis pass over the first window, opacity-ranked lifespan staggering
+(decay_genesis), then per-tick evolve (mature to the frozen ring + stream to
+disk + rollover) and window training; finally mature the remainder.
+
+Usage:
+  python -m gsplat_tpu.train.train_swin -s <swings_dataset> -m <out>
+         --cap_max N --swin_size 10 [--deform] [--first_frame_only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.data.scene import DynamicScene, MAX_FRAME_IN_MEMORY
+from gsplat_tpu.model import gaussians as gs_lib
+from gsplat_tpu.model import optim, swin
+from gsplat_tpu.train import swin_step as sstep
+from gsplat_tpu.train.config import (ModelConfig, OptimizationConfig,
+                                     PipelineConfig, add_config_args,
+                                     extract_config, save_cfg_args)
+from gsplat_tpu.train.train_static import make_settings
+from gsplat_tpu.utils import checkpoint as ckpt_lib
+from gsplat_tpu.utils.stream import SliWinManager, stream_dump
+
+
+def evolve(state: swin.SwinState, adam, swin_mgr: SliWinManager,
+           dump_path: str, sh_degree: int):
+    """Host+device evolve (gaussian_model.py:530-548): stream matured rows
+    to disk, then ring-copy + rollover on device."""
+    mask = swin.mature_mask(state, float(swin_mgr.frame_end))
+    rows = swin.extract_rows_host(state, np.asarray(mask))
+    n = rows["start_frame"].shape[0]
+    if n:
+        stream_dump(rows, dump_path, sh_degree)
+        print(f"Matured {n} gaussians -> {dump_path}")
+    return sstep.mature_and_rollover_jit(state, adam, mask)
+
+
+def mature_rest(state: swin.SwinState, adam, dump_path: str, sh_degree: int):
+    """Mature every remaining immature gaussian (gaussian_model.py:551-555)."""
+    mask = state.im.alive_mask & (state.frame_start >= 0)
+    rows = swin.extract_rows_host(state, np.asarray(mask))
+    if rows["start_frame"].shape[0]:
+        stream_dump(rows, dump_path, sh_degree)
+        print(f"Matured rest: {rows['start_frame'].shape[0]} gaussians")
+    return sstep.mature_and_rollover_jit(state, adam, mask)
+
+
+def train_slide_window(state, adam, scene: DynamicScene,
+                       swin_mgr: SliWinManager, steps, model_cfg, opt, args,
+                       train_step, densify, eval_step, bg, key,
+                       genesis: bool, first_iter: int = 0, ckpt_dir=None):
+    total = opt.iterations
+    if opt.genesis_iterations > 0 and genesis:
+        total = opt.genesis_iterations
+    viewpoint_stack = []
+    t_start = time.time()
+    for it in range(first_iter + 1, total + 1):
+        sh_degree = (min(it // 1000, model_cfg.sh_degree) if genesis
+                     else model_cfg.sh_degree)
+        if not viewpoint_stack:
+            cams = scene.get_train_cams_at(swin_mgr.sampled_frames())
+            viewpoint_stack = list(cams)
+            random.shuffle(viewpoint_stack)
+        cam_obj = viewpoint_stack.pop()
+        camera, gt = cam_obj.load()
+        key, k_step = jax.random.split(key)
+        state, adam, m = train_step(
+            state, adam, k_step, camera, jnp.asarray(gt), bg,
+            jnp.asarray(it, jnp.float32),
+            jnp.asarray(float(cam_obj.frame)), sh_degree)
+
+        densify_now = (
+            (opt.densify_from_iter < it < opt.densify_until_iter
+             and it % opt.densification_interval == 0)
+            or (not genesis and 0 < it < opt.densify_until_iter
+                and it % opt.densification_interval == 0))
+        if densify_now:
+            key, kd = jax.random.split(key)
+            state, adam = densify(state, adam, kd,
+                                  jnp.asarray(float(swin_mgr.frame_start)),
+                                  genesis)
+
+        if it % 100 == 0:
+            dt = (time.time() - t_start) / 100
+            t_start = time.time()
+            print(f"[{swin_mgr}] it {it}: loss={float(m.loss):.5f} "
+                  f"psnr={float(m.psnr):.2f} active={int(m.n_active)} "
+                  f"dup={int(m.num_dup)} {dt * 1000:.0f}ms/it")
+
+        if it in args.test_iterations:
+            _eval_report(state, scene, swin_mgr, eval_step, bg,
+                         model_cfg.sh_degree, it, model_cfg.model_path)
+
+        if it in args.save_iterations:
+            gs_lib.save_ply(
+                state.im,
+                os.path.join(model_cfg.model_path,
+                             f"point_cloud/iteration_{it}/point_cloud.ply"))
+
+        if ckpt_dir and it in args.checkpoint_iterations:
+            path = os.path.join(
+                ckpt_dir, f"chkpnt_{swin_mgr.frame_start}_{it}.npz")
+            ckpt_lib.save_pytree(path, {"state": state, "adam": adam},
+                                 meta={"iteration": it,
+                                       "swin": swin_mgr.state_dump()})
+            print(f"saved checkpoint {path}")
+    return state, adam, key
+
+
+def _eval_report(state, scene, swin_mgr, eval_step, bg, sh_degree, it,
+                 model_path):
+    cams = scene.get_test_cams_at(swin_mgr.all_frames())
+    if not cams:
+        return
+    psnr_per_frame = {}
+    l1s, psnrs = [], []
+    for cam_obj in cams:
+        camera, gt = cam_obj.load()
+        _, l1, p = eval_step(state, camera, jnp.asarray(gt), bg,
+                             jnp.asarray(float(cam_obj.frame)), sh_degree)
+        l1s.append(float(l1))
+        psnrs.append(float(p))
+        psnr_per_frame.setdefault(cam_obj.frame, []).append(float(p))
+    print(f"\n[ITER {it}] Evaluating test: L1 {np.mean(l1s):.5f} "
+          f"PSNR {np.mean(psnrs):.2f}")
+    # per-frame PSNR dump (train_swin.py:99-101)
+    with open(os.path.join(model_path, "psnr.txt"), "a") as f:
+        for frame, ps in sorted(psnr_per_frame.items()):
+            f.write(f"\n[ITER {it} FRAME {frame}] eval test PSNR "
+                    f"{np.mean(ps)}")
+
+
+def training(model_cfg: ModelConfig, opt: OptimizationConfig,
+             pipe: PipelineConfig, args):
+    os.makedirs(model_cfg.model_path, exist_ok=True)
+    save_cfg_args(model_cfg.model_path, args)
+    dump_path = os.path.join(model_cfg.model_path, "streamable.dat")
+    if os.path.exists(dump_path):
+        os.remove(dump_path)
+    print(f"Streamable dump path: {dump_path}")
+
+    scene = DynamicScene(model_cfg.source_path, model_cfg.model_path,
+                         eval_split=model_cfg.eval,
+                         resolution=model_cfg.resolution,
+                         init_type=model_cfg.init_type,
+                         num_pts=model_cfg.init_pts,
+                         max_frame=model_cfg.max_frame)
+    swin_mgr = SliWinManager(args.swin_size, model_cfg.max_frame,
+                             MAX_FRAME_IN_MEMORY)
+
+    capacity = model_cfg.cap_max
+    n_init = min(scene.info.points.shape[0], capacity)
+    state = swin.create_from_points(
+        scene.info.points[:n_init], scene.info.colors[:n_init], capacity,
+        model_cfg.sh_degree, max_lifespan=args.swin_size,
+        buffer_size=capacity, deform=args.deform)
+    adam = optim.init(state.params())
+
+    first_iter = 0
+    if args.start_checkpoint:
+        tree, meta = ckpt_lib.load_pytree(args.start_checkpoint,
+                                          {"state": state, "adam": adam})
+        state, adam = tree["state"], tree["adam"]
+        swin_mgr.state_load(meta["swin"])
+        first_iter = meta["iteration"]
+        print(f"Checkpoint {first_iter} of {swin_mgr} loaded")
+
+    settings = make_settings(pipe, 2 * capacity)
+    train_step = sstep.make_swin_train_step(opt, settings,
+                                            scene.cameras_extent)
+    densify = sstep.make_swin_densify_step(capacity, args.swin_size)
+    eval_step = sstep.make_swin_eval_step(settings)
+    bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background
+                     else [0.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(0)
+
+    genesis = swin_mgr.frame_start == 0
+    state, adam, key = train_slide_window(
+        state, adam, scene, swin_mgr, None, model_cfg, opt, args,
+        train_step, densify, eval_step, bg, key, genesis=genesis,
+        first_iter=first_iter, ckpt_dir=model_cfg.model_path)
+
+    if args.first_frame_only:
+        state, adam = mature_rest(state, adam, dump_path, model_cfg.sh_degree)
+        return state
+    if genesis:
+        state = swin.decay_genesis(state)
+    swin_mgr.tick()
+
+    while swin_mgr.frame_end <= swin_mgr.max_frame:
+        state, adam = evolve(state, adam, swin_mgr, dump_path,
+                             model_cfg.sh_degree)
+        state, adam, key = train_slide_window(
+            state, adam, scene, swin_mgr, None, model_cfg, opt, args,
+            train_step, densify, eval_step, bg, key, genesis=False,
+            ckpt_dir=model_cfg.model_path)
+        print(f"retiring frame #{swin_mgr.frame_start}")
+        swin_mgr.tick()
+
+    state, adam = mature_rest(state, adam, dump_path, model_cfg.sh_degree)
+    return state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="SwinGS training parameters")
+    add_config_args(parser, ModelConfig())
+    add_config_args(parser, OptimizationConfig())
+    add_config_args(parser, PipelineConfig())
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[1000, 5000, 10000, 15000, 20000, 25000,
+                                 30000])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--swin_size", type=int, default=10)
+    parser.add_argument("--first_frame_only", action="store_true")
+    parser.add_argument("--deform", action="store_true")
+    args = parser.parse_args(argv)
+    args.save_iterations.append(args.iterations)
+
+    random.seed(314159)
+    model_cfg = extract_config(args, ModelConfig)
+    opt = extract_config(args, OptimizationConfig)
+    pipe = extract_config(args, PipelineConfig)
+    print("Optimizing " + model_cfg.model_path)
+    training(model_cfg, opt, pipe, args)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

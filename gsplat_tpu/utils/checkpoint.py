@@ -22,6 +22,25 @@ from gsplat_tpu.model import optim
 from gsplat_tpu.model.gaussians import GaussianState
 
 
+def save_pytree(path: str, tree, meta: Dict[str, Any] | None = None) -> None:
+    """Generic pytree checkpoint: leaves stored by tree-path key. Loading
+    requires a template pytree with the same structure (shapes may differ
+    only in values)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    np.savez(path, __meta__=json.dumps(meta or {}), **arrays)
+
+
+def load_pytree(path: str, template):
+    """Returns (tree_like_template, meta)."""
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["__meta__"]))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = [jnp.asarray(z[jax.tree_util.keystr(k)]) for k, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta
+
+
 def save(path: str, state: GaussianState, adam: optim.AdamState,
          iteration: int, extra: Dict[str, Any] | None = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
