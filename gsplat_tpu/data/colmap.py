@@ -89,6 +89,17 @@ def read_cameras_binary(path: str) -> dict[int, ColmapCamera]:
 
 
 def read_images_binary(path: str) -> dict[int, ColmapImage]:
+    # fast native path (gsplat_tpu/native/gsio.cpp), python fallback below
+    from gsplat_tpu.native import gsio
+
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    native = gsio.parse_images(buf)
+    if native is not None:
+        ids, qvec, tvec, cam_ids, names = native
+        return {int(i): ColmapImage(int(i), qvec[k].copy(), tvec[k].copy(),
+                                    int(cam_ids[k]), names[k])
+                for k, i in enumerate(ids)}
     imgs = {}
     with open(path, "rb") as f:
         (num,) = struct.unpack("<Q", f.read(8))
@@ -111,9 +122,14 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
 
 
 def read_points3d_binary(path: str):
-    """Returns (xyz [N,3] f64, rgb [N,3] u8, errors [N] f64), vectorized."""
+    """Returns (xyz [N,3] f64, rgb [N,3] u8, errors [N] f64)."""
+    from gsplat_tpu.native import gsio
+
     with open(path, "rb") as f:
         data = f.read()
+    native = gsio.parse_points3d(data)
+    if native is not None:
+        return native
     (num,) = struct.unpack_from("<Q", data, 0)
     xyz = np.empty((num, 3), np.float64)
     rgb = np.empty((num, 3), np.uint8)

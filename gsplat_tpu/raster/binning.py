@@ -82,17 +82,42 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     d = jnp.arange(k_dup, dtype=jnp.int32)
     r = d - base_of_d
 
-    # packed per-gaussian rect/depth table -> one row gather
+    # packed per-gaussian rect/depth/conic table -> one row gather
     table = jnp.stack([min_x.astype(jnp.float32), min_y.astype(jnp.float32),
                        jnp.maximum(rect_w, 1).astype(jnp.float32),
-                       proc.depth], axis=1)  # [P, 4]
-    rows = table[g_of_d]  # [k_dup, 4]
+                       proc.depth,
+                       proc.xy[:, 0], proc.xy[:, 1],
+                       proc.conic[:, 0], proc.conic[:, 1], proc.conic[:, 2],
+                       proc.opacity], axis=1)  # [P, 10]
+    rows = table[g_of_d]  # [k_dup, 10]
     w = rows[:, 2].astype(jnp.int32)
-    tile_id = ((rows[:, 1].astype(jnp.int32) + r // w) * grid_x
-               + rows[:, 0].astype(jnp.int32) + r % w)
+    tx = rows[:, 0].astype(jnp.int32) + r % w
+    ty = rows[:, 1].astype(jnp.int32) + r // w
+    tile_id = ty * grid_x + tx
     depth = rows[:, 3]
 
-    valid = d < num_dup
+    # Contribution culling (conservative, image-exact): the kernel skips any
+    # contribution with alpha < 1/255 (forward.cu:345-346). For every pixel p
+    # of the tile, power(p) <= -0.5 * lmin(conic) * |p - center|^2, so if
+    # opa * exp(-0.5 * lmin * d^2) < 1/255 with d the center-to-tile-box
+    # distance, the duplicate cannot contribute anywhere in its tile.
+    a_c, b_c, c_c = rows[:, 6], rows[:, 7], rows[:, 8]
+    mid = 0.5 * (a_c + c_c)
+    det_c = a_c * c_c - b_c * b_c
+    lmin = mid - jnp.sqrt(jnp.maximum(mid * mid - det_c, 0.0))
+    cx = jnp.clip(rows[:, 4],
+                  (tx * tile_x).astype(jnp.float32),
+                  (tx * tile_x + (tile_x - 1)).astype(jnp.float32))
+    cy = jnp.clip(rows[:, 5],
+                  (ty * tile_y).astype(jnp.float32),
+                  (ty * tile_y + (tile_y - 1)).astype(jnp.float32))
+    dx = cx - rows[:, 4]
+    dy = cy - rows[:, 5]
+    power_bound = -0.5 * jnp.maximum(lmin, 0.0) * (dx * dx + dy * dy)
+    # tiny safety margin so f32 rounding can't drop a borderline contribution
+    contributes = rows[:, 9] * jnp.exp(power_bound) >= (0.999 / 255.0)
+
+    valid = (d < num_dup) & contributes
     dup_tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
 
     # --- per-tile pad candidates so sorted order is chunk-aligned ---
@@ -118,7 +143,9 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
         (all_keys, all_depth, all_gid), dimension=0, num_keys=2)
 
     tile_of_slot = jnp.minimum(key_sorted, num_tiles - 1)
-    chunk_tile = tile_of_slot[::chunk]
+    # chunk_tile keeps the sentinel (== num_tiles) for fully-invalid trailing
+    # chunks so the kernel can skip their bodies entirely.
+    chunk_tile = key_sorted[::chunk]
     chunk_first = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])

@@ -77,11 +77,35 @@ def _scan_rows(x, exclusive: bool):
     return acc - x if exclusive else acc
 
 
-def _alphas(feat, basis, logt):
+def _scan_prod_rows(x):
+    """Inclusive prefix PRODUCT along axis=1 via log-shift doubling."""
+    n = x.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    shift = 1
+    while shift < n:
+        rolled = jnp.roll(acc, shift, axis=1)
+        acc = acc * jnp.where(col >= shift, rolled, 1.0)
+        shift *= 2
+    return acc
+
+
+def _exclusive(incl, x, identity):
+    """Inclusive -> exclusive scan result (shift right by one column)."""
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    rolled = jnp.roll(incl, 1, axis=1)
+    return jnp.where(col >= 1, rolled, identity)
+
+
+def _alphas(feat, basis, t_in):
     """Shared forward math: per-(pixel, gaussian) alpha/transmittance.
 
-    feat: (NUM_FEAT, CHUNK); basis: tuple of (N,1); logt: (N,1) carry.
-    Returns dict of (N, CHUNK) arrays + (3, CHUNK) rgb + updated logt (N,1).
+    feat: (NUM_FEAT, CHUNK); basis: tuple of (N,1); t_in: (N,1) carried
+    transmittance (the reference's per-pixel T, forward.cu:301).
+    Returns dict of (N, CHUNK) arrays + updated carry (N,1).
+
+    Transmittance is a direct prefix product of (1-alpha) — one doubling
+    scan, no log/exp round trip.
     """
     px2, py2, pxpy, px, py = basis
     c = [feat[i : i + 1, :] for i in range(6)]  # each (1, CHUNK)
@@ -90,97 +114,117 @@ def _alphas(feat, basis, logt):
     g_exp = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, opa * g_exp)
     alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
-    l1m = jnp.log1p(-alpha)
-    cum_e = logt + _scan_rows(l1m, exclusive=True)
-    t_g = jnp.exp(cum_e)
+    one_minus = 1.0 - alpha
+    prod_incl = _scan_prod_rows(one_minus)
+    t_g = t_in * _exclusive(prod_incl, one_minus, 1.0)
     gate = (t_g > T_EPS).astype(jnp.float32)
     w = alpha * t_g * gate
-    logt_new = logt + jnp.sum(l1m * gate, axis=1, keepdims=True)
+    # carry: product over gated rows only (matches the oracle's frozen T).
+    # Mosaic has no reduce_prod; use the last column of a gated product scan.
+    gated_prod = _scan_prod_rows(jnp.where(gate > 0, one_minus, 1.0))
+    t_new = t_in * gated_prod[:, -1:]
     rgb = feat[6:9, :]
     return dict(power=power, g_exp=g_exp, alpha=alpha, t_g=t_g, gate=gate,
-                w=w, rgb=rgb, opa=opa, logt_new=logt_new)
+                w=w, rgb=rgb, opa=opa, t_new=t_new)
 
 
-def _fwd_kernel(chunk_tile, chunk_first, feat_ref, c_ref, t_ref, logt_ref,
-                *, n_pix: int, tile_x: int):
+def _fwd_kernel(chunk_tile, chunk_first, feat_ref, c_ref, t_ref, tcar_ref,
+                *, n_pix: int, tile_x: int, num_tiles: int):
     k = pl.program_id(0)
+    is_real = chunk_tile[k] < num_tiles  # trailing sentinel chunks: no-op
 
-    @pl.when(chunk_first[k] != 0)
+    @pl.when(is_real & (chunk_first[k] != 0))
     def _():
         c_ref[...] = jnp.zeros_like(c_ref)
-        logt_ref[...] = jnp.zeros_like(logt_ref)
+        tcar_ref[...] = jnp.ones_like(tcar_ref)
+        t_ref[...] = jnp.ones_like(t_ref)
 
-    basis = _basis(n_pix, tile_x)
-    v = _alphas(feat_ref[...], basis, logt_ref[...])
-    # C[p, ch] += sum_g w[p, g] * rgb[ch, g]  — MXU matmul.
-    contrib = lax.dot_general(v["w"], v["rgb"], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (N, 3)
-    c_ref[...] = c_ref[...] + contrib[None]
-    logt_ref[...] = v["logt_new"]
-    t_ref[...] = jnp.exp(v["logt_new"])[None]
+    # Early exit: if every pixel in this tile is saturated (T <= eps), later
+    # chunks contribute nothing (the tile-level form of forward.cu:310-312).
+    @pl.when(is_real & (jnp.max(tcar_ref[...]) > T_EPS))
+    def _():
+        basis = _basis(n_pix, tile_x)
+        v = _alphas(feat_ref[...], basis, tcar_ref[...])
+        # C[p, ch] += sum_g w[p, g] * rgb[ch, g]  — MXU matmul.
+        contrib = lax.dot_general(v["w"], v["rgb"], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (N,3)
+        c_ref[...] = c_ref[...] + contrib[None]
+        tcar_ref[...] = v["t_new"]
+        t_ref[...] = v["t_new"][None]
 
 
 def _bwd_kernel(chunk_tile, chunk_first, feat_ref, cres_ref, tres_ref,
-                dc_ref, dt_ref, dfeat_ref, logt_ref, accum_ref,
-                *, n_pix: int, tile_x: int):
+                dc_ref, dt_ref, dfeat_ref, tcar_ref, accum_ref,
+                *, n_pix: int, tile_x: int, num_tiles: int):
     k = pl.program_id(0)
+    is_real = chunk_tile[k] < num_tiles
 
-    @pl.when(chunk_first[k] != 0)
+    @pl.when(is_real & (chunk_first[k] != 0))
     def _():
-        logt_ref[...] = jnp.zeros_like(logt_ref)
+        tcar_ref[...] = jnp.ones_like(tcar_ref)
         accum_ref[...] = jnp.zeros_like(accum_ref)
 
-    basis = _basis(n_pix, tile_x)
-    feat = feat_ref[...]
-    v = _alphas(feat, basis, logt_ref[...])
-    dc = dc_ref[0]   # (N, 3)
-    dt = dt_ref[0]   # (N, 1)
-    cres = cres_ref[0]  # (N, 3)
-    tres = tres_ref[0]  # (N, 1)
+    saturated = jnp.logical_not(is_real) | (jnp.max(tcar_ref[...]) <= T_EPS)
 
-    # Per-pixel total downstream dot: D = <dC, C_final> + dT * T_final.
-    d_tot = jnp.sum(dc * cres, axis=1, keepdims=True) + dt * tres  # (N, 1)
-    # A[p, g] = <dC[p], rgb[g]>
-    a_pg = lax.dot_general(dc, v["rgb"], (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)  # (N, CHUNK)
-    aw = a_pg * v["w"]
-    cum_in = accum_ref[...] + _scan_rows(aw, exclusive=False)
-    s = d_tot - cum_in  # suffix contributions incl. the T_final term
-    alpha = v["alpha"]
-    live = (alpha > 0.0).astype(jnp.float32)
-    dalpha = (a_pg * v["t_g"] - s / (1.0 - alpha)) * v["gate"] * live
-    # 0.99-clamp pass-through (backward.cu:477-481): dpower uses opa*exp(power).
-    dpower = dalpha * v["opa"] * v["g_exp"]
+    @pl.when(jnp.logical_not(saturated))
+    def _():
+        basis = _basis(n_pix, tile_x)
+        feat = feat_ref[...]
+        v = _alphas(feat, basis, tcar_ref[...])
+        dc = dc_ref[0]   # (N, 3)
+        dt = dt_ref[0]   # (N, 1)
+        cres = cres_ref[0]  # (N, 3)
+        tres = tres_ref[0]  # (N, 1)
 
-    px2, py2, pxpy, px, py = basis
-    ones = jnp.ones_like(px)
-    dcoeff = [jnp.sum(dpower * b, axis=0, keepdims=True)
-              for b in (px2, py2, pxpy, px, py, ones)]  # each (1, CHUNK)
-    # drgb[ch, g] = sum_p dC[p, ch] * w[p, g]
-    drgb = lax.dot_general(dc, v["w"], (((0,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)  # (3, CHUNK)
-    dopa = jnp.sum(v["g_exp"] * dalpha * live, axis=0, keepdims=True)
-    zeros = jnp.zeros((NUM_FEAT - 10, feat.shape[1]), jnp.float32)
-    dfeat_ref[...] = jnp.concatenate(dcoeff + [drgb, dopa, zeros], axis=0)
+        # Per-pixel total downstream dot: D = <dC, C_final> + dT * T_final.
+        d_tot = jnp.sum(dc * cres, axis=1, keepdims=True) + dt * tres
+        # A[p, g] = <dC[p], rgb[g]>
+        a_pg = lax.dot_general(dc, v["rgb"], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+        aw = a_pg * v["w"]
+        cum_in = accum_ref[...] + _scan_rows(aw, exclusive=False)
+        s = d_tot - cum_in  # suffix contributions incl. the T_final term
+        alpha = v["alpha"]
+        live = (alpha > 0.0).astype(jnp.float32)
+        dalpha = (a_pg * v["t_g"] - s / (1.0 - alpha)) * v["gate"] * live
+        # 0.99-clamp pass-through (backward.cu:477-481): opa*exp(power).
+        dpower = dalpha * v["opa"] * v["g_exp"]
 
-    logt_ref[...] = v["logt_new"]
-    accum_ref[...] = cum_in[:, -1:]
+        px2, py2, pxpy, px, py = basis
+        ones = jnp.ones_like(px)
+        dcoeff = [jnp.sum(dpower * b, axis=0, keepdims=True)
+                  for b in (px2, py2, pxpy, px, py, ones)]  # each (1, CHUNK)
+        # drgb[ch, g] = sum_p dC[p, ch] * w[p, g]
+        drgb = lax.dot_general(dc, v["w"], (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+        dopa = jnp.sum(v["g_exp"] * dalpha * live, axis=0, keepdims=True)
+        zeros = jnp.zeros((NUM_FEAT - 10, feat.shape[1]), jnp.float32)
+        dfeat_ref[...] = jnp.concatenate(dcoeff + [drgb, dopa, zeros], axis=0)
+
+        tcar_ref[...] = v["t_new"]
+        accum_ref[...] = cum_in[:, -1:]
+
+    @pl.when(saturated)
+    def _():
+        dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
 
 
-def _common_specs(num_chunks: int, chunk: int, n_pix: int):
+def _common_specs(num_chunks: int, chunk: int, n_pix: int, num_tiles: int):
+    def tile_ix(k, ct, cf):
+        return (jnp.minimum(ct[k], num_tiles - 1), 0, 0)
+
     feat_spec = pl.BlockSpec((NUM_FEAT, chunk), lambda k, ct, cf: (0, k),
                              memory_space=pltpu.VMEM)
-    img_spec = pl.BlockSpec((1, n_pix, 3), lambda k, ct, cf: (ct[k], 0, 0),
-                            memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((1, n_pix, 1), lambda k, ct, cf: (ct[k], 0, 0),
-                          memory_space=pltpu.VMEM)
+    img_spec = pl.BlockSpec((1, n_pix, 3), tile_ix, memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((1, n_pix, 1), tile_ix, memory_space=pltpu.VMEM)
     return feat_spec, img_spec, t_spec
 
 
 def _forward(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
              tile_x: int, chunk: int, interpret: bool):
     num_chunks = feat.shape[1] // chunk
-    feat_spec, img_spec, t_spec = _common_specs(num_chunks, chunk, n_pix)
+    feat_spec, img_spec, t_spec = _common_specs(num_chunks, chunk, n_pix,
+                                                num_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_chunks,),
@@ -192,7 +236,8 @@ def _forward(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
         jax.ShapeDtypeStruct((num_tiles, n_pix, 3), jnp.float32),
         jax.ShapeDtypeStruct((num_tiles, n_pix, 1), jnp.float32),
     ]
-    kernel = functools.partial(_fwd_kernel, n_pix=n_pix, tile_x=tile_x)
+    kernel = functools.partial(_fwd_kernel, n_pix=n_pix, tile_x=tile_x,
+                               num_tiles=num_tiles)
     c_img, t_img = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
     )(chunk_tile, chunk_first, feat)
@@ -203,7 +248,8 @@ def _backward(feat, chunk_tile, chunk_first, c_img, t_img, dc, dt,
               num_tiles: int, n_pix: int, tile_x: int, chunk: int,
               interpret: bool):
     num_chunks = feat.shape[1] // chunk
-    feat_spec, img_spec, t_spec = _common_specs(num_chunks, chunk, n_pix)
+    feat_spec, img_spec, t_spec = _common_specs(num_chunks, chunk, n_pix,
+                                                num_tiles)
     dfeat_spec = pl.BlockSpec((NUM_FEAT, chunk), lambda k, ct, cf: (0, k),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -214,7 +260,8 @@ def _backward(feat, chunk_tile, chunk_first, c_img, t_img, dc, dt,
         scratch_shapes=[pltpu.VMEM((n_pix, 1), jnp.float32),
                         pltpu.VMEM((n_pix, 1), jnp.float32)],
     )
-    kernel = functools.partial(_bwd_kernel, n_pix=n_pix, tile_x=tile_x)
+    kernel = functools.partial(_bwd_kernel, n_pix=n_pix, tile_x=tile_x,
+                               num_tiles=num_tiles)
     (dfeat,) = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(feat.shape, jnp.float32)],

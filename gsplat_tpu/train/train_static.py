@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -93,19 +94,30 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
         print(f"restored checkpoint at iteration {first_iter}")
 
     settings = make_settings(pipe, capacity)
-    train_step = step_lib.make_train_step(opt, settings, cameras_extent)
-    densify_step = step_lib.make_densify_step(capacity)
-    eval_step = step_lib.make_eval_step(settings)
+
+    def build_steps(s):
+        return (step_lib.make_train_step(opt, s, cameras_extent),
+                step_lib.make_densify_step(capacity),
+                step_lib.make_eval_step(s))
+
+    train_step, densify_step, eval_step = build_steps(settings)
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background
                      else [0.0, 0.0, 0.0], jnp.float32)
     key = jax.random.PRNGKey(0)
 
+    profile_range = getattr(args, "profile_iterations", None) or ()
     viewpoint_stack: list = []
     ema_loss = 0.0
     last_metrics = None
     t_start = time.time()
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        if profile_range and iteration == profile_range[0]:
+            jax.profiler.start_trace(os.path.join(model_cfg.model_path,
+                                                  "profile"))
+        if profile_range and iteration == profile_range[-1]:
+            jax.profiler.stop_trace()
+            print(f"profile trace -> {model_cfg.model_path}/profile")
         sh_degree = min(iteration // 1000, model_cfg.sh_degree)
 
         if not viewpoint_stack:
@@ -138,14 +150,22 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
         if iteration % 100 == 0:
             dt = (time.time() - t_start) / min(iteration - first_iter, 100)
             t_start = time.time()
+            num_dup = int(metrics.num_dup)
             print(f"[ITER {iteration}] loss={float(metrics.loss):.5f} "
                   f"ema={ema_loss:.5f} psnr={float(metrics.psnr):.2f} "
-                  f"n={int(state.n_alive)} dup={int(metrics.num_dup)}/"
+                  f"n={int(state.n_alive)} dup={num_dup}/"
                   f"{settings.k_dup} {dt * 1000:.1f}ms/it")
-            if int(metrics.num_dup) > settings.k_dup:
-                print(f"  WARNING: duplicate budget overflow "
-                      f"({int(metrics.num_dup)} > {settings.k_dup}); "
-                      "increase --dup_budget")
+            if tb_writer:
+                tb_writer.add_scalar("iter_time", dt * 1000, iteration)
+                tb_writer.add_scalar("total_points", int(state.n_alive),
+                                     iteration)
+            # adaptive duplicate budget: never train on silent truncation —
+            # grow the budget and recompile (rare; chunk-aligned)
+            if num_dup > 0.95 * settings.k_dup:
+                new_k = -(-int(num_dup * 1.5) // settings.chunk) * settings.chunk
+                settings = dataclasses.replace(settings, k_dup=new_k)
+                print(f"  duplicate budget -> {new_k} (recompiling)")
+                train_step, densify_step, eval_step = build_steps(settings)
 
         if iteration in args.test_iterations and test_cams:
             _report_eval(tb_writer, eval_step, state, test_cams, bg,
@@ -215,6 +235,9 @@ def main(argv=None):
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--frame", type=int, default=0)
+    parser.add_argument("--profile_iterations", nargs=2, type=int,
+                        default=None,
+                        help="capture a jax.profiler trace over [a, b)")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
