@@ -40,7 +40,7 @@ def main():
     p_gt, p_model, w, h, iters = ((500, 1000, 128, 128, 5) if on_cpu
                                   else (20_000, 100_000, 800, 800, 50))
     settings = RasterizeSettings(
-        k_dup=(1 << 15) if on_cpu else 6 * p_model, tile_x=16, tile_y=16,
+        k_dup=(1 << 15) if on_cpu else 8 * p_model, tile_x=16, tile_y=16,
         chunk=128, interpret=on_cpu)
     sh = 3
     bg = jnp.zeros(3)
@@ -65,6 +65,18 @@ def main():
     state = gaussians.create_from_points(
         pts, rng.uniform(0, 1, (p_model, 3)).astype(np.float32),
         capacity=p_model, max_sh_degree=sh)
+    # right-size the duplicate budget: measure actual duplicates once and
+    # rebuild with 30% headroom (chunk-aligned) — no silent truncation
+    probe_fn = jax.jit(lambda st: rasterize(
+        st.xyz, st.get_scaling(), st.get_rotation(), st.get_opacity()[:, 0],
+        st.get_features(), cams[0], sh, bg, settings,
+        alive=st.alive_mask).num_dup)
+    k_need = max(int(probe_fn(state)) * 13 // 10, 1 << 15)
+    settings = RasterizeSettings(
+        k_dup=-(-k_need // settings.chunk) * settings.chunk,
+        tile_x=settings.tile_x, tile_y=settings.tile_y,
+        chunk=settings.chunk, interpret=on_cpu)
+    print(f"stage: dup budget {settings.k_dup}")
     adam = optim.init(state.params())
     opt = OptimizationConfig()
     train_step = step_lib.make_train_step(opt, settings, spatial_lr_scale=4.0)

@@ -31,10 +31,7 @@ def build_scaling_rotation(scales, quats):
 
 def covariance_3d(scales, quats, scale_modifier=1.0):
     """Sigma = L L^T, [..., 3, 3]."""
-    L = build_scaling_rotation(scale_modifier * scales, quats)
-    # Explicit f32 contraction: TPU's default matmul precision is bf16,
-    # which is far too coarse for covariance geometry.
-    return jnp.einsum("...ik,...jk->...ij", L, L, precision="highest")
+    return unstrip_symmetric(covariance_6(scales, quats, scale_modifier))
 
 
 def strip_symmetric(cov):
@@ -60,8 +57,21 @@ def unstrip_symmetric(v):
 
 
 def covariance_6(scales, quats, scale_modifier=1.0):
-    """Packed 6-vector covariance (the ``cov3D_precomp`` contract)."""
-    return strip_symmetric(covariance_3d(scales, quats, scale_modifier))
+    """Packed 6-vector covariance (the ``cov3D_precomp`` contract).
+
+    Fully elementwise (Sigma_il = sum_j R_ij R_lj s_j^2): TPU lowers batched
+    3x3 matmuls onto the 128x128 MXU catastrophically, so no einsum here.
+    """
+    R = quat_to_rotmat(quats)
+    s2 = (scale_modifier * scales) ** 2  # [..., 3]
+
+    def entry(i, l):
+        return (R[..., i, 0] * R[..., l, 0] * s2[..., 0]
+                + R[..., i, 1] * R[..., l, 1] * s2[..., 1]
+                + R[..., i, 2] * R[..., l, 2] * s2[..., 2])
+
+    return jnp.stack([entry(0, 0), entry(0, 1), entry(0, 2),
+                      entry(1, 1), entry(1, 2), entry(2, 2)], axis=-1)
 
 
 def project_cov2d(mean3d, cov3d_6, view, focal_x, focal_y, tan_fovx, tan_fovy):
@@ -77,31 +87,39 @@ def project_cov2d(mean3d, cov3d_6, view, focal_x, focal_y, tan_fovx, tan_fovy):
       (column-vector convention: x_cam = view @ [x_world, 1]).
     Returns (cov2d_a, cov2d_b, cov2d_c) = (xx, xy, yy) each [...].
     """
-    t = jnp.einsum("ij,...j->...i", view[:3, :3], mean3d,
-                   precision="highest") + view[:3, 3]
-    tz = t[..., 2]
+    # Elementwise throughout — batched tiny matmuls are MXU poison on TPU.
+    w = view[:3, :3]  # world->cam rotation (scalars below)
+    tx_ = (w[0, 0] * mean3d[..., 0] + w[0, 1] * mean3d[..., 1]
+           + w[0, 2] * mean3d[..., 2] + view[0, 3])
+    ty_ = (w[1, 0] * mean3d[..., 0] + w[1, 1] * mean3d[..., 1]
+           + w[1, 2] * mean3d[..., 2] + view[1, 3])
+    tz = (w[2, 0] * mean3d[..., 0] + w[2, 1] * mean3d[..., 1]
+          + w[2, 2] * mean3d[..., 2] + view[2, 3])
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
-    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
-    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+    tx = jnp.clip(tx_ / tz, -limx, limx) * tz
+    ty = jnp.clip(ty_ / tz, -limy, limy) * tz
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    # J: d(image_xy)/d(cam_xyz), 2x3 rows
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # [..., 2, 3]
-    W = view[:3, :3]  # world->cam rotation
-    Sigma = unstrip_symmetric(cov3d_6)
-    M = jnp.einsum("...ij,jk->...ik", J, W, precision="highest")  # [..., 2, 3]
-    cov2d = jnp.einsum("...ij,...jk,...lk->...il", M, Sigma, M,
-                       precision="highest")  # [..., 2, 2]
-    a = cov2d[..., 0, 0] + 0.3
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + 0.3
+    # J rows: j0 = [fx/z, 0, -fx tx/z^2], j1 = [0, fy/z, -fy ty/z^2]
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z2
+    # M = J @ W (rows of the 2x3 projection in world space)
+    m0 = [j00 * w[0, k] + j02 * w[2, k] for k in range(3)]
+    m1 = [j11 * w[1, k] + j12 * w[2, k] for k in range(3)]
+
+    xx, xy, xz, yy, yz, zz = (cov3d_6[..., i] for i in range(6))
+
+    def quad(u, v):
+        # u^T Sigma v for row vectors u, v (lists of 3 arrays)
+        return (u[0] * (xx * v[0] + xy * v[1] + xz * v[2])
+                + u[1] * (xy * v[0] + yy * v[1] + yz * v[2])
+                + u[2] * (xz * v[0] + yz * v[1] + zz * v[2]))
+
+    a = quad(m0, m0) + 0.3
+    b = quad(m0, m1)
+    c = quad(m1, m1) + 0.3
     return a, b, c

@@ -143,8 +143,11 @@ def rigid_deform(xyz, rot, rigid_v, rigid_rotvec, rigid_rotcen, time_span,
     rvec = rigid_rotvec * t
     dq = rotvec_to_quat(rvec)
     R = rotvec_to_rotmat(rvec)
-    xyz_new = jnp.einsum("...ij,...j->...i", R, xyz - rigid_rotcen,
-                         precision="highest")
+    d = xyz - rigid_rotcen
+    # elementwise batched matvec (tiny batched matmuls are MXU-hostile)
+    xyz_new = jnp.stack(
+        [R[..., i, 0] * d[..., 0] + R[..., i, 1] * d[..., 1]
+         + R[..., i, 2] * d[..., 2] for i in range(3)], axis=-1)
     xyz_new = xyz_new + rigid_rotcen + shift
     rot_new = quat_mul(dq, rot)
     return xyz_new, rot_new

@@ -71,6 +71,15 @@ class GaussianState:
         """[C, K, 3] concatenated SH coefficients."""
         return jnp.concatenate([self.features_dc, self.features_rest], axis=1)
 
+    def get_covariance(self, scaling_modifier: float = 1.0):
+        """Packed 6-vector 3D covariance (the reference's covariance
+        activation path, gaussian_model_static.py:36-45,148-149) — feeds the
+        rasterizer's cov3d_precomp input."""
+        from gsplat_tpu.core.covariance import covariance_6
+
+        return covariance_6(self.get_scaling(), self.get_rotation(),
+                            scaling_modifier)
+
     def params(self) -> dict[str, jnp.ndarray]:
         """The trainable leaves, keyed like the reference optimizer groups
         (gaussian_model_static.py:191-198)."""

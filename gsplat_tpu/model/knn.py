@@ -18,6 +18,47 @@ import jax.numpy as jnp
 from jax import lax
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def knn_indices(points: jnp.ndarray, k: int = 20, block: int = 2048):
+    """Exact k-NN indices + squared distances (excluding self).
+
+    The TPU replacement for the open3d KDTree neighbor build the reference
+    uses for its ARAP regularizer (utils/loss_utils.py:71-101). Blocked
+    top-k over an MXU distance matrix. Returns (sq_dists [P,k], idx [P,k]).
+    """
+    p = points.shape[0]
+    pad = (-p) % block
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    n = pts.shape[0]
+    sq = jnp.sum(pts * pts, axis=1)
+    num_blocks = n // block
+    blocks = pts.reshape(num_blocks, block, 3)
+    sq_blocks = sq.reshape(num_blocks, block)
+    inf = jnp.float32(jnp.inf)
+    idx_all = jnp.arange(n, dtype=jnp.int32)
+
+    def body(carry, inputs):
+        best_d, best_i = carry
+        blk_pts, blk_sq, blk_id = inputs
+        cross = jnp.dot(pts, blk_pts.T, precision="highest")
+        d2 = sq[:, None] + blk_sq[None, :] - 2.0 * cross
+        col_ids = blk_id * block + jnp.arange(block, dtype=jnp.int32)
+        invalid = (col_ids[None, :] == idx_all[:, None]) | (col_ids >= p)[None, :]
+        d2 = jnp.where(invalid, inf, jnp.maximum(d2, 0.0))
+        blk_d, blk_j = lax.top_k(-d2, k)
+        blk_i = col_ids[blk_j]
+        merged_d = jnp.concatenate([best_d, -blk_d], axis=1)
+        merged_i = jnp.concatenate([best_i, blk_i], axis=1)
+        keep_d, keep_j = lax.top_k(-merged_d, k)
+        return (-keep_d, jnp.take_along_axis(merged_i, keep_j, axis=1)), None
+
+    init = (jnp.full((n, k), inf), jnp.zeros((n, k), jnp.int32))
+    (best_d, best_i), _ = lax.scan(
+        body, init,
+        (blocks, sq_blocks, jnp.arange(num_blocks, dtype=jnp.int32)))
+    return best_d[:p], best_i[:p]
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def mean_sq_dist_3nn(points: jnp.ndarray, block: int = 2048) -> jnp.ndarray:
     """points [P, 3] -> [P] mean of squared distances to the 3 nearest

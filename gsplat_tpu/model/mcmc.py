@@ -181,11 +181,18 @@ def inject_noise(state: GaussianState, key, noise_lr, xyz_lr):
     """Covariance-shaped positional noise on near-transparent Gaussians
     (train_static.py:132-140): xyz += Sigma @ randn * sigmoid(-100*((1-o) -
     0.995)^-)... precisely: gate = 1/(1+exp(-100*((1-opacity) - 0.995)))."""
+    from gsplat_tpu.core.covariance import covariance_6
+
     opa = state.get_opacity()
     gate = jax.nn.sigmoid(100.0 * ((1.0 - opa) - 0.995))  # [C, 1]
     noise = jax.random.normal(key, state.xyz.shape) * gate * noise_lr * xyz_lr
-    L = build_scaling_rotation(state.get_scaling(), state.get_rotation())
-    sigma = jnp.einsum("pik,pjk->pij", L, L, precision="highest")
-    noise = jnp.einsum("pij,pj->pi", sigma, noise, precision="highest")
+    # Sigma @ noise, elementwise from the packed 6-vector covariance
+    # (batched 3x3 matmuls lower poorly on the MXU).
+    xx, xy, xz, yy, yz, zz = (covariance_6(
+        state.get_scaling(), state.get_rotation())[..., i] for i in range(6))
+    nx, ny, nz = noise[:, 0], noise[:, 1], noise[:, 2]
+    noise = jnp.stack([xx * nx + xy * ny + xz * nz,
+                       xy * nx + yy * ny + yz * nz,
+                       xz * nx + yz * ny + zz * nz], axis=-1)
     noise = jnp.where(state.alive_mask[:, None], noise, 0.0)
     return dataclasses.replace(state, xyz=state.xyz + noise)

@@ -382,16 +382,19 @@ def add_new_gs(state: SwinState, adam: optim.AdamState, key,
 
 def inject_noise_active(state: SwinState, key, noise_lr, xyz_lr, frame):
     """Noise only on the ACTIVE immature subset (train_swin.py:244-261)."""
-    from gsplat_tpu.core.covariance import build_scaling_rotation
+    from gsplat_tpu.core.covariance import covariance_6
 
     im = state.im
     active = active_immature_mask(state, frame)
     opa = im.get_opacity()
     gate = jax.nn.sigmoid(100.0 * ((1.0 - opa) - 0.995))
     noise = jax.random.normal(key, im.xyz.shape) * gate * noise_lr * xyz_lr
-    L = build_scaling_rotation(im.get_scaling(), im.get_rotation())
-    sigma = jnp.einsum("pik,pjk->pij", L, L, precision="highest")
-    noise = jnp.einsum("pij,pj->pi", sigma, noise, precision="highest")
+    xx, xy, xz, yy, yz, zz = (covariance_6(
+        im.get_scaling(), im.get_rotation())[..., i] for i in range(6))
+    nx, ny, nz = noise[:, 0], noise[:, 1], noise[:, 2]
+    noise = jnp.stack([xx * nx + xy * ny + xz * nz,
+                       xy * nx + yy * ny + yz * nz,
+                       xz * nx + yz * ny + zz * nz], axis=-1)
     noise = jnp.where(active[:, None], noise, 0.0)
     return dataclasses.replace(state,
                                im=dataclasses.replace(im, xyz=im.xyz + noise))

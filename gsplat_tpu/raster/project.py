@@ -54,19 +54,21 @@ def preprocess(
 ) -> Preprocessed:
     """Vectorized preprocess. Culled/dead Gaussians get radius 0, depth +inf."""
     # Camera-space position and near-plane cull (auxiliary.h:152-154).
-    p_view = jnp.einsum("ij,pj->pi", camera.view[:3, :3], means3d,
-                        precision="highest") + camera.view[:3, 3]
-    depth = p_view[:, 2]
+    # Elementwise matvec (a [P,3]x[3,3] matmul lowers poorly on the MXU).
+    depth = (camera.view[2, 0] * means3d[:, 0]
+             + camera.view[2, 1] * means3d[:, 1]
+             + camera.view[2, 2] * means3d[:, 2] + camera.view[2, 3])
     visible = depth > 0.2
     if alive is not None:
         visible = visible & alive
 
     # Projection to NDC then pixels (forward.cu:197-200, 233).
-    p_hom = jnp.einsum("ij,pj->pi", camera.full_proj[:, :3], means3d,
-                       precision="highest") + camera.full_proj[:, 3]
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    x_pix = ndc_to_pix(p_hom[:, 0] * p_w, camera.width)
-    y_pix = ndc_to_pix(p_hom[:, 1] * p_w, camera.height)
+    fp = camera.full_proj
+    hx, hy, hw = (fp[i, 0] * means3d[:, 0] + fp[i, 1] * means3d[:, 1]
+                  + fp[i, 2] * means3d[:, 2] + fp[i, 3] for i in (0, 1, 3))
+    p_w = 1.0 / (hw + 1e-7)
+    x_pix = ndc_to_pix(hx * p_w, camera.width)
+    y_pix = ndc_to_pix(hy * p_w, camera.height)
     xy = jnp.stack([x_pix, y_pix], axis=-1)
 
     # 3D covariance (6-vec) then EWA 2D covariance.

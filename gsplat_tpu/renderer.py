@@ -38,3 +38,30 @@ def render(camera: CameraParams, state: GaussianState, bg,
         "num_dup": out.num_dup,
         "final_t": out.final_t,
     }
+
+
+def deformable_render(camera: CameraParams, state, frame, bg,
+                      settings: RasterizeSettings,
+                      sh_degree: int | None = None):
+    """Frame-indexed render of a SwinState (the reference deformable_render,
+    gaussian_renderer/__init__.py:105-172): applies the rigid temporal
+    deformation and returns the active-set parameters alongside the image
+    (the reference's ``input_gaussians``, used by the regularizers)."""
+    from gsplat_tpu.model import swin as swin_lib
+
+    deg = state.im.max_sh_degree if sh_degree is None else sh_degree
+    kw = swin_lib.union_params_at(state, frame)
+    out = rasterize(kw["means3d"], kw["scales"], kw["quats"],
+                    kw["opacities"], kw["shs"], camera, deg,
+                    jnp.asarray(bg, jnp.float32), settings,
+                    alive=kw["alive"])
+    return {
+        "render": out.image,
+        "viewspace_points": None,
+        "visibility_filter": out.radii > 0,
+        "radii": out.radii,
+        "is_used": out.is_used,
+        "num_dup": out.num_dup,
+        "final_t": out.final_t,
+        "input_gaussians": kw,
+    }

@@ -40,26 +40,65 @@ def psnr(pred, gt):
 
 
 @functools.lru_cache()
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _gaussian_1d(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     g = np.array([math.exp(-((x - window_size // 2) ** 2) / (2 * sigma ** 2))
                   for x in range(window_size)], np.float32)
-    g = g / g.sum()
-    return np.outer(g, g)
+    return g / g.sum()
+
+
+def _blur_axis(img, g: np.ndarray, axis: int):
+    """1D conv along ``axis`` with zero 'same' padding via shifted adds.
+
+    XLA's depthwise conv wastes the vector unit at C=3 (3 of 128 lanes);
+    eleven shifted adds keep every lane busy and autodiff cleanly."""
+    window = g.shape[0]
+    pad = window // 2
+    n = img.shape[axis]
+    pad_cfg = [(0, 0)] * img.ndim
+    pad_cfg[axis] = (pad, pad)
+    padded = jnp.pad(img, pad_cfg)
+    out = None
+    for t in range(window):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(t, t + n)
+        term = float(g[t]) * padded[tuple(sl)]
+        out = term if out is None else out + term
+    return out
 
 
 def _filter2d(img, window_size: int):
-    """Depthwise 2D conv with zero 'same' padding, img [H, W, C]."""
-    c = img.shape[-1]
-    w = jnp.asarray(_gaussian_window(window_size))
-    kernel = jnp.broadcast_to(w[None, None], (c, 1, window_size, window_size))
-    pad = window_size // 2
-    out = lax.conv_general_dilated(
-        img[None], kernel, window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        feature_group_count=c,
-        precision="highest")
-    return out[0]
+    """Depthwise 2D Gaussian conv with zero 'same' padding, img [H, W, C].
+
+    The window is an outer product of a normalized 1D Gaussian
+    (loss_utils.py:31-34), so the 2D conv separates into a vertical and a
+    horizontal shifted-add pass — identical result, ~5x fewer taps."""
+    g = _gaussian_1d(window_size)
+    return _blur_axis(_blur_axis(img, g, 0), g, 1)
+
+
+def build_neighbor(xyz, num_knn: int = 20, weight_coef: float = 2000.0):
+    """KNN graph for ARAP (reference build_neighbor, loss_utils.py:83-101 —
+    open3d KDTree replaced by an exact blocked MXU KNN)."""
+    from gsplat_tpu.model.knn import knn_indices
+
+    sq_dists, indices = knn_indices(xyz, k=num_knn)
+    return {"indices": indices, "dist": sq_dists,
+            "weight": jnp.exp(-weight_coef * sq_dists)}
+
+
+def arap_loss(xyz, paras, indices, weight_coef: float = 2000.0):
+    """As-rigid-as-possible smoothness over a KNN graph
+    (utils/loss_utils.py:103-117): per parameter field p, sum over edges of
+    exp(-coef*|dx|^2) * |dp|^2. Returns [len(paras)] penalties."""
+    nei_xyz = xyz[indices]                       # [N, K, 3]
+    sq_dist = jnp.sum((nei_xyz - xyz[:, None]) ** 2, axis=-1)  # [N, K]
+    weight = jnp.exp(-weight_coef * sq_dist)
+    pens = []
+    for p in paras:
+        nei_p = p[indices]
+        d = jnp.sum((nei_p - p[:, None]) ** 2, axis=-1)
+        pens.append(jnp.mean(jnp.sum(weight * d, axis=-1)))
+    return jnp.stack(pens)
 
 
 def ssim(img1, img2, window_size: int = 11):

@@ -40,12 +40,18 @@ def _masked_mean(x, mask, axis_dims: int = 1):
 
 def make_swin_train_step(opt: OptimizationConfig,
                          settings: RasterizeSettings,
-                         spatial_lr_scale: float):
+                         spatial_lr_scale: float,
+                         arap_weights=None):
+    """arap_weights: optional (w_v, w_rotvec, w_rotcen) enabling the ARAP
+    rigidity regularizer over the immature KNN graph (the reference ships it
+    gated off, train_swin.py:34,183-200). When set, the step takes a
+    ``nbr_indices`` [C, K] neighbor array (rebuild periodically)."""
+
     @functools.partial(jax.jit, static_argnames=("sh_degree",),
                        donate_argnames=("state", "adam"))
     def swin_train_step(state: SwinState, adam: optim.AdamState, key,
                         camera: CameraParams, gt_image, bg, iteration,
-                        frame, sh_degree: int):
+                        frame, sh_degree: int, nbr_indices=None):
         xyz_lr = expon_lr(
             iteration,
             opt.position_lr_init * spatial_lr_scale,
@@ -81,6 +87,13 @@ def make_swin_train_step(opt: OptimizationConfig,
                 jnp.abs(kw["opacities"]), active)
             loss = loss + opt.scale_reg * _masked_mean(
                 jnp.abs(kw["scales"]), active)
+            if arap_weights is not None and nbr_indices is not None:
+                pens = losses.arap_loss(
+                    jax.lax.stop_gradient(s.im.xyz),
+                    [params["rigid_v"], params["rigid_rotvec"],
+                     params["rigid_rotcen"]], nbr_indices)
+                loss = loss + jnp.sum(
+                    pens * jnp.asarray(arap_weights, jnp.float32))
             n_active = jnp.sum(active.astype(jnp.int32))
             return loss, (ll1, out.num_dup, img, n_active)
 

@@ -65,6 +65,8 @@ def train_slide_window(state, adam, scene: DynamicScene,
     if opt.genesis_iterations > 0 and genesis:
         total = opt.genesis_iterations
     viewpoint_stack = []
+    nbr_indices = None
+    enable_arap = getattr(args, "enable_arap", False)
     t_start = time.time()
     for it in range(first_iter + 1, total + 1):
         sh_degree = (min(it // 1000, model_cfg.sh_degree) if genesis
@@ -76,10 +78,16 @@ def train_slide_window(state, adam, scene: DynamicScene,
         cam_obj = viewpoint_stack.pop()
         camera, gt = cam_obj.load()
         key, k_step = jax.random.split(key)
+        if enable_arap and (nbr_indices is None
+                            or it % opt.densification_interval == 0):
+            from gsplat_tpu.model.knn import knn_indices
+
+            nbr_indices = knn_indices(state.im.xyz, k=20)[1]
         state, adam, m = train_step(
             state, adam, k_step, camera, jnp.asarray(gt), bg,
             jnp.asarray(it, jnp.float32),
-            jnp.asarray(float(cam_obj.frame)), sh_degree)
+            jnp.asarray(float(cam_obj.frame)), sh_degree,
+            nbr_indices=nbr_indices)
 
         densify_now = (
             (opt.densify_from_iter < it < opt.densify_until_iter
@@ -98,6 +106,9 @@ def train_slide_window(state, adam, scene: DynamicScene,
             print(f"[{swin_mgr}] it {it}: loss={float(m.loss):.5f} "
                   f"psnr={float(m.psnr):.2f} active={int(m.n_active)} "
                   f"dup={int(m.num_dup)} {dt * 1000:.0f}ms/it")
+            if hasattr(args, "_dup_high_water"):
+                args._dup_high_water = max(args._dup_high_water,
+                                           int(m.num_dup))
 
         if it in args.test_iterations:
             _eval_report(state, scene, swin_mgr, eval_step, bg,
@@ -178,10 +189,17 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
         print(f"Checkpoint {first_iter} of {swin_mgr} loaded")
 
     settings = make_settings(pipe, 2 * capacity)
-    train_step = sstep.make_swin_train_step(opt, settings,
-                                            scene.cameras_extent)
-    densify = sstep.make_swin_densify_step(capacity, args.swin_size)
-    eval_step = sstep.make_swin_eval_step(settings)
+    args._dup_high_water = 0
+
+    arap_w = (0.1, 0.1, 0.1) if getattr(args, "enable_arap", False) else None
+
+    def build_steps(s):
+        return (sstep.make_swin_train_step(opt, s, scene.cameras_extent,
+                                           arap_weights=arap_w),
+                sstep.make_swin_densify_step(capacity, args.swin_size),
+                sstep.make_swin_eval_step(s))
+
+    train_step, densify, eval_step = build_steps(settings)
     bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background
                      else [0.0, 0.0, 0.0])
     key = jax.random.PRNGKey(0)
@@ -199,7 +217,16 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
         state = swin.decay_genesis(state)
     swin_mgr.tick()
 
+    import dataclasses as _dc
+
     while swin_mgr.frame_end <= swin_mgr.max_frame:
+        # adaptive duplicate budget between windows (no silent truncation)
+        if args._dup_high_water > 0.9 * settings.k_dup:
+            new_k = -(-int(args._dup_high_water * 1.5)
+                      // settings.chunk) * settings.chunk
+            settings = _dc.replace(settings, k_dup=new_k)
+            print(f"duplicate budget -> {new_k} (recompiling)")
+            train_step, densify, eval_step = build_steps(settings)
         state, adam = evolve(state, adam, swin_mgr, dump_path,
                              model_cfg.sh_degree)
         state, adam, key = train_slide_window(
@@ -231,6 +258,9 @@ def main(argv=None):
     parser.add_argument("--swin_size", type=int, default=10)
     parser.add_argument("--first_frame_only", action="store_true")
     parser.add_argument("--deform", action="store_true")
+    parser.add_argument("--enable_arap", action="store_true",
+                        help="ARAP rigidity regularizer over the immature "
+                             "KNN graph (reference ships this gated off)")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 

@@ -162,3 +162,39 @@ def test_expon_lr_endpoints():
     lr_delayed = float(expon_lr(0, 1e-2, 1e-4, lr_delay_steps=100,
                                 lr_delay_mult=0.01, max_steps=1000))
     np.testing.assert_allclose(lr_delayed, 1e-4, rtol=1e-5)
+
+
+def test_ssim_matches_torch_reference():
+    """Separable SSIM must match the reference's torch conv2d implementation
+    (utils/loss_utils.py:27-67) to float precision."""
+    import torch
+    import torch.nn.functional as F
+    from math import exp as _exp
+
+    from gsplat_tpu.train.losses import ssim
+
+    def torch_ssim(img1, img2, window_size=11):
+        channel = img1.size(-3)
+        g = torch.Tensor([_exp(-(x - window_size // 2) ** 2 / (2 * 1.5 ** 2))
+                          for x in range(window_size)])
+        g = (g / g.sum()).unsqueeze(1)
+        w = g.mm(g.t()).float().unsqueeze(0).unsqueeze(0).expand(
+            channel, 1, window_size, window_size).contiguous()
+        mu1 = F.conv2d(img1, w, padding=5, groups=channel)
+        mu2 = F.conv2d(img2, w, padding=5, groups=channel)
+        mu1_sq, mu2_sq, mu12 = mu1.pow(2), mu2.pow(2), mu1 * mu2
+        s1 = F.conv2d(img1 * img1, w, padding=5, groups=channel) - mu1_sq
+        s2 = F.conv2d(img2 * img2, w, padding=5, groups=channel) - mu2_sq
+        s12 = F.conv2d(img1 * img2, w, padding=5, groups=channel) - mu12
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        return (((2 * mu12 + c1) * (2 * s12 + c2))
+                / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))).mean()
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (33, 47, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (33, 47, 3)).astype(np.float32)
+    ours = float(__import__("gsplat_tpu.train.losses", fromlist=["ssim"])
+                 .ssim(jnp.asarray(a), jnp.asarray(b)))
+    ref = float(torch_ssim(torch.tensor(a).permute(2, 0, 1)[None],
+                           torch.tensor(b).permute(2, 0, 1)[None]))
+    assert abs(ours - ref) < 2e-6

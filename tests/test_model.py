@@ -151,3 +151,32 @@ def test_inject_noise_only_transparent():
     assert np.all(delta[:10] < 1e-5), "opaque gaussians should barely move"
     assert np.all(delta[10:20] > 1e-5), "transparent gaussians should move"
     assert np.all(delta[20:] == 0.0), "padding rows must not move"
+
+
+def test_knn_indices_match_bruteforce():
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(130, 3)).astype(np.float32)
+    d, idx = knn.knn_indices(jnp.asarray(pts), k=5, block=64)
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    expected_idx = np.argsort(d2, axis=1)[:, :5]
+    expected_d = np.sort(d2, axis=1)[:, :5]
+    np.testing.assert_allclose(np.sort(np.asarray(d), 1), expected_d,
+                               rtol=1e-4)
+    # index sets match (order within ties can differ)
+    assert all(set(np.asarray(idx)[i]) == set(expected_idx[i])
+               for i in range(130))
+
+
+def test_arap_loss_zero_for_rigid_field():
+    from gsplat_tpu.train.losses import arap_loss, build_neighbor
+
+    rng = np.random.default_rng(5)
+    xyz = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    nbr = build_neighbor(xyz, num_knn=4)
+    const = jnp.broadcast_to(jnp.asarray([1.0, 2.0, 3.0]), (64, 3))
+    pens = arap_loss(xyz, [const], nbr["indices"])
+    np.testing.assert_allclose(np.asarray(pens), [0.0], atol=1e-6)
+    varying = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    pens2 = arap_loss(xyz, [varying], nbr["indices"])
+    assert float(pens2[0]) > 0.0
