@@ -179,6 +179,18 @@ def union_params_at(state: SwinState, frame):
                 opacities=opacity, shs=shs, alive=active)
 
 
+def dump_para_as_rgb(xyz, feature, path: str) -> None:
+    """Debug dump: positions colored by a normalized parameter field
+    (reference dump_para_as_rgb, gaussian_model.py:347-362)."""
+    from gsplat_tpu.data import ply
+
+    xyz = np.asarray(xyz)
+    feat = np.asarray(feature)
+    lo, hi = feat.min(axis=0), feat.max(axis=0)
+    rgb = ((feat - lo) / np.maximum(hi - lo, 1e-12) * 255).astype(np.uint8)
+    ply.store_point_cloud(path, xyz.astype(np.float32), rgb.astype(np.float32))
+
+
 def active_immature_mask(state: SwinState, frame):
     return (state.im.alive_mask & (state.frame_start <= frame)
             & (state.frame_end > frame))

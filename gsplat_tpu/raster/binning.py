@@ -40,6 +40,9 @@ class Binning(NamedTuple):
     num_dup: jnp.ndarray      # [] int32 true duplicate count (overflow if > k_dup)
     radius: jnp.ndarray       # [P] int32 radius, empty-rect Gaussians zeroed
                               # (matches forward.cu:236-237 early-out)
+    used: jnp.ndarray         # [P] bool — has >= 1 surviving (non-culled)
+                              # duplicate; the fork's is_used flag
+                              # (forward.cu:364) at tile granularity
 
 
 def _owner_scan(starts, values, k: int, fill):
@@ -63,12 +66,35 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     p = proc.xy.shape[0]
     num_tiles = grid_x * grid_y
 
+    # Binning rect: the reference uses the 3-sigma radius (forward.cu:232).
+    # Any pixel at distance r from the center has alpha <= opa *
+    # exp(-lmin(conic) r^2 / 2), so r_cut = sqrt(2 ln(255 opa) / lmin) bounds
+    # every >=1/255 contribution. min(3sigma, r_cut) keeps reference
+    # semantics (never larger than the reference rect) while shrinking the
+    # rect sharply for low-opacity Gaussians — image-identical, fewer dups.
+    a_ = proc.conic[:, 0]
+    c_ = proc.conic[:, 2]
+    mid_ = 0.5 * (a_ + c_)
+    det_ = a_ * c_ - proc.conic[:, 1] ** 2
+    lmin_ = jnp.maximum(mid_ - jnp.sqrt(jnp.maximum(mid_ * mid_ - det_, 0.0)),
+                        1e-12)
+    log_term = jnp.log(jnp.maximum(255.0 * proc.opacity, 1e-12))
+    r_cut = jnp.ceil(jnp.sqrt(jnp.maximum(2.0 * log_term, 0.0) / lmin_))
+    r_bin = jnp.minimum(proc.radius,
+                        r_cut.astype(jnp.int32))
+    r_bin = jnp.where(proc.opacity >= 1.0 / 255.0, r_bin, 0)
+
     min_x, min_y, max_x, max_y = tile_rect(
-        proc.xy, proc.radius, tile_x, tile_y, grid_x, grid_y)
+        proc.xy, r_bin, tile_x, tile_y, grid_x, grid_y)
     rect_w = max_x - min_x
-    counts = jnp.where(proc.visible, rect_w * (max_y - min_y), 0
-                       ).astype(jnp.int32)
-    radius = jnp.where(counts > 0, proc.radius, 0)
+    counts = jnp.where(proc.visible & (r_bin > 0),
+                       rect_w * (max_y - min_y), 0).astype(jnp.int32)
+    # radii output keeps the reference's 3-sigma semantics (forward.cu:251):
+    # zero only when the 3-sigma rect itself is empty.
+    rmin_x, rmin_y, rmax_x, rmax_y = tile_rect(
+        proc.xy, proc.radius, tile_x, tile_y, grid_x, grid_y)
+    ref_rect = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+    radius = jnp.where(proc.visible & (ref_rect > 0), proc.radius, 0)
 
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(counts, dtype=jnp.int32)])
@@ -150,6 +176,8 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
         jnp.ones((1,), jnp.int32),
         (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])
 
+    used = (jnp.zeros((p + 1,), jnp.bool_)
+            .at[jnp.where(valid, g_of_d, p)].set(True)[:p])
     return Binning(gid=gid_sorted, tile_of_slot=tile_of_slot,
                    chunk_tile=chunk_tile, chunk_first=chunk_first,
-                   num_dup=num_dup, radius=radius)
+                   num_dup=num_dup, radius=radius, used=used)

@@ -133,6 +133,5 @@ def rasterize(
     final_t = assemble(t_img, 1)
     image = color + final_t * jnp.asarray(bg, jnp.float32)
 
-    is_used = binn.radius > 0
-    return RasterizeOutput(image=image, radii=binn.radius, is_used=is_used,
+    return RasterizeOutput(image=image, radii=binn.radius, is_used=binn.used,
                            num_dup=binn.num_dup, final_t=final_t[..., 0])

@@ -159,10 +159,17 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                 tb_writer.add_scalar("iter_time", dt * 1000, iteration)
                 tb_writer.add_scalar("total_points", int(state.n_alive),
                                      iteration)
-            # adaptive duplicate budget: never train on silent truncation —
-            # grow the budget and recompile (rare; chunk-aligned)
+            # adaptive duplicate budget: grow on (near-)overflow — never
+            # train on silent truncation — and shrink when grossly oversized
+            # (every k-proportional stage speeds up). Recompiles are rare.
+            new_k = None
             if num_dup > 0.95 * settings.k_dup:
-                new_k = -(-int(num_dup * 1.5) // settings.chunk) * settings.chunk
+                new_k = int(num_dup * 1.5)
+            elif (iteration % 1000 == 0 and settings.k_dup > 1 << 16
+                  and num_dup < 0.35 * settings.k_dup):
+                new_k = max(int(num_dup * 1.6), 1 << 16)
+            if new_k is not None:
+                new_k = -(-new_k // settings.chunk) * settings.chunk
                 settings = dataclasses.replace(settings, k_dup=new_k)
                 print(f"  duplicate budget -> {new_k} (recompiling)")
                 train_step, densify_step, eval_step = build_steps(settings)

@@ -103,7 +103,10 @@ def test_radii_and_visibility():
     radii = np.asarray(out.radii)
     assert np.all(radii[::2] == 0)
     assert np.any(radii[1::2] > 0)
-    assert np.array_equal(np.asarray(out.is_used), radii > 0)
+    used = np.asarray(out.is_used)
+    # used implies on-screen, and most visible gaussians do contribute
+    assert np.all(radii[used] > 0)
+    assert used.sum() > 0.5 * (radii > 0).sum()
 
 
 @pytest.mark.parametrize("seed,opa_hi", [(0, 6.0), (3, 40.0)])
