@@ -39,8 +39,11 @@ def main():
     # CPU fallback keeps the bench runnable anywhere but tiny.
     p_gt, p_model, w, h, iters = ((500, 1000, 128, 128, 5) if on_cpu
                                   else (20_000, 100_000, 800, 800, 50))
+    import os
+    tx = int(os.environ.get("BENCH_TILE_X", 16))
+    ty = int(os.environ.get("BENCH_TILE_Y", 16))
     settings = RasterizeSettings(
-        k_dup=(1 << 15) if on_cpu else 8 * p_model, tile_x=16, tile_y=16,
+        k_dup=(1 << 15) if on_cpu else 8 * p_model, tile_x=tx, tile_y=ty,
         chunk=128, interpret=on_cpu)
     sh = 3
     bg = jnp.zeros(3)
@@ -103,7 +106,7 @@ def main():
         "value": round(its, 2),
         "unit": "it/s",
         "vs_baseline": round(its / A100_BASELINE_ITERS_PER_SEC, 3),
-        "config": {"gaussians": p_model, "image": f"{w}x{h}",
+        "config": {"gaussians": p_model, "image": f"{w}x{h}", "tile": f"{settings.tile_x}x{settings.tile_y}",
                    "backend": jax.default_backend(),
                    "k_dup": settings.k_dup,
                    "ms_per_iter": round(dt / iters * 1000, 2)},

@@ -14,11 +14,17 @@ TPU performance notes:
   followed by a cumulative max (a vectorized prefix scan):
       owner(d)      = cummax_d( scatter(g          at offsets[g]) )
       range_base(d) = cummax_d( scatter(offsets[g] at offsets[g]) )
-- Tile-list padding (each tile's duplicate list padded to a CHUNK multiple
-  for the Pallas kernel) is fused INTO the sort: per tile we append up to
-  CHUNK pad candidates with depth=+inf, so the sorted order IS the padded
-  layout and the downstream kernel needs no indirection at all — one packed
-  row-gather by sorted gaussian id produces the kernel's feature stream.
+- Gaussians are PRE-SORTED by depth, so the big per-duplicate sort is a
+  STABLE single-key (tile) sort — depth order within each tile comes for
+  free and the depth array never rides through the bitonic passes.
+- Tile-list padding (each non-empty tile's list padded to a CHUNK multiple
+  for the Pallas kernel) is fused INTO the sort via per-tile pad candidates
+  that sort behind their tile's real duplicates. Empty tiles get no slots at
+  all; their output blocks are patched to background outside the kernel
+  (see rasterize.py, `tile_len`).
+- Binning rects use the exact alpha-cutoff radius min(3sigma, r_cut) and a
+  per-duplicate eigenvalue-bound contribution cull — both image-identical
+  to the reference's semantics, both sharply reducing duplicate counts.
 """
 
 from __future__ import annotations
@@ -32,11 +38,13 @@ from gsplat_tpu.raster.project import Preprocessed, tile_rect
 
 
 class Binning(NamedTuple):
-    gid: jnp.ndarray          # [K_slots] int32 gaussian id per padded sorted
-                              # slot; == P for padding slots
+    gid: jnp.ndarray          # [K_slots] int32 DEPTH-SORTED-space gaussian id
+                              # per padded slot; == P for padding slots
+    order: jnp.ndarray        # [P] int32: depth rank -> original gaussian id
     tile_of_slot: jnp.ndarray  # [K_slots] int32 tile id (clamped)
     chunk_tile: jnp.ndarray   # [K_slots/chunk] int32 tile per kernel chunk
     chunk_first: jnp.ndarray  # [K_slots/chunk] int32 1 at a tile's 1st chunk
+    tile_len: jnp.ndarray     # [T] int32 real duplicates per tile
     num_dup: jnp.ndarray      # [] int32 true duplicate count (overflow if > k_dup)
     radius: jnp.ndarray       # [P] int32 radius, empty-rect Gaussians zeroed
                               # (matches forward.cu:236-237 early-out)
@@ -73,22 +81,27 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # semantics (never larger than the reference rect) while shrinking the
     # rect sharply for low-opacity Gaussians — image-identical, fewer dups.
     a_ = proc.conic[:, 0]
+    b2_ = proc.conic[:, 1] ** 2
     c_ = proc.conic[:, 2]
     mid_ = 0.5 * (a_ + c_)
-    det_ = a_ * c_ - proc.conic[:, 1] ** 2
-    lmin_ = jnp.maximum(mid_ - jnp.sqrt(jnp.maximum(mid_ * mid_ - det_, 0.0)),
-                        1e-12)
+    lmin_ = jnp.maximum(
+        mid_ - jnp.sqrt(jnp.maximum(mid_ * mid_ - (a_ * c_ - b2_), 0.0)),
+        1e-12)
     log_term = jnp.log(jnp.maximum(255.0 * proc.opacity, 1e-12))
     r_cut = jnp.ceil(jnp.sqrt(jnp.maximum(2.0 * log_term, 0.0) / lmin_))
-    r_bin = jnp.minimum(proc.radius,
-                        r_cut.astype(jnp.int32))
+    r_bin = jnp.minimum(proc.radius, r_cut.astype(jnp.int32))
     r_bin = jnp.where(proc.opacity >= 1.0 / 255.0, r_bin, 0)
+
+    # ---- depth pre-sort: all later work happens in depth-rank space ----
+    depth_key = jnp.where(proc.visible & (r_bin > 0), proc.depth, jnp.inf)
+    _, order = lax.sort((depth_key, jnp.arange(p, dtype=jnp.int32)),
+                        dimension=0, num_keys=1)
 
     min_x, min_y, max_x, max_y = tile_rect(
         proc.xy, r_bin, tile_x, tile_y, grid_x, grid_y)
-    rect_w = max_x - min_x
     counts = jnp.where(proc.visible & (r_bin > 0),
-                       rect_w * (max_y - min_y), 0).astype(jnp.int32)
+                       (max_x - min_x) * (max_y - min_y), 0
+                       ).astype(jnp.int32)[order]
     # radii output keeps the reference's 3-sigma semantics (forward.cu:251):
     # zero only when the 3-sigma rect itself is empty.
     rmin_x, rmin_y, rmax_x, rmax_y = tile_rect(
@@ -108,65 +121,61 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     d = jnp.arange(k_dup, dtype=jnp.int32)
     r = d - base_of_d
 
-    # packed per-gaussian rect/depth/conic table -> one row gather
+    # packed per-gaussian rect/conic table IN DEPTH ORDER -> one row gather
     table = jnp.stack([min_x.astype(jnp.float32), min_y.astype(jnp.float32),
-                       jnp.maximum(rect_w, 1).astype(jnp.float32),
-                       proc.depth,
+                       jnp.maximum(max_x - min_x, 1).astype(jnp.float32),
                        proc.xy[:, 0], proc.xy[:, 1],
-                       proc.conic[:, 0], proc.conic[:, 1], proc.conic[:, 2],
-                       proc.opacity], axis=1)  # [P, 10]
-    rows = table[g_of_d]  # [k_dup, 10]
+                       proc.opacity, lmin_], axis=1)[order]  # [P, 7]
+    rows = table[g_of_d]  # [k_dup, 7]
     w = rows[:, 2].astype(jnp.int32)
     tx = rows[:, 0].astype(jnp.int32) + r % w
     ty = rows[:, 1].astype(jnp.int32) + r // w
     tile_id = ty * grid_x + tx
-    depth = rows[:, 3]
 
     # Contribution culling (conservative, image-exact): the kernel skips any
-    # contribution with alpha < 1/255 (forward.cu:345-346). For every pixel p
-    # of the tile, power(p) <= -0.5 * lmin(conic) * |p - center|^2, so if
-    # opa * exp(-0.5 * lmin * d^2) < 1/255 with d the center-to-tile-box
+    # contribution with alpha < 1/255 (forward.cu:345-346). For every pixel q
+    # of the tile, power(q) <= -0.5 * lmin(conic) * |q - center|^2, so if
+    # opa * exp(-0.5 * lmin * dist^2) < 1/255 with dist the center-to-tile
     # distance, the duplicate cannot contribute anywhere in its tile.
-    a_c, b_c, c_c = rows[:, 6], rows[:, 7], rows[:, 8]
-    mid = 0.5 * (a_c + c_c)
-    det_c = a_c * c_c - b_c * b_c
-    lmin = mid - jnp.sqrt(jnp.maximum(mid * mid - det_c, 0.0))
-    cx = jnp.clip(rows[:, 4],
+    cx = jnp.clip(rows[:, 3],
                   (tx * tile_x).astype(jnp.float32),
                   (tx * tile_x + (tile_x - 1)).astype(jnp.float32))
-    cy = jnp.clip(rows[:, 5],
+    cy = jnp.clip(rows[:, 4],
                   (ty * tile_y).astype(jnp.float32),
                   (ty * tile_y + (tile_y - 1)).astype(jnp.float32))
-    dx = cx - rows[:, 4]
-    dy = cy - rows[:, 5]
-    power_bound = -0.5 * jnp.maximum(lmin, 0.0) * (dx * dx + dy * dy)
+    dx = cx - rows[:, 3]
+    dy = cy - rows[:, 4]
+    power_bound = -0.5 * rows[:, 6] * (dx * dx + dy * dy)
     # tiny safety margin so f32 rounding can't drop a borderline contribution
-    contributes = rows[:, 9] * jnp.exp(power_bound) >= (0.999 / 255.0)
+    contributes = rows[:, 5] * jnp.exp(power_bound) >= (0.999 / 255.0)
 
     valid = (d < num_dup) & contributes
     dup_tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
 
     # --- per-tile pad candidates so sorted order is chunk-aligned ---
-    # len_t via histogram; pads_t = round_up(max(len_t,1), chunk) - len_t
+    # len_t via histogram; pads only for NON-EMPTY tiles (empty tiles get no
+    # slots; their output blocks are patched outside the kernel)
     len_t = jnp.zeros((num_tiles,), jnp.int32).at[dup_tile_key].add(
         valid.astype(jnp.int32), mode="drop")
-    pads_t = (-(-jnp.maximum(len_t, 1) // chunk)) * chunk - len_t  # [0,chunk]
-    pad_j = jnp.tile(jnp.arange(chunk, dtype=jnp.int32), num_tiles)
-    pad_tile = jnp.repeat(jnp.arange(num_tiles, dtype=jnp.int32), chunk)
-    pad_key = jnp.where(pad_j < pads_t[pad_tile], pad_tile, num_tiles)
+    pads_t = jnp.where(
+        len_t > 0, (-(-len_t // chunk)) * chunk - len_t, 0)  # [0, chunk)
+    # broadcasting instead of a [T*chunk] gather (2ms saved at 2500 tiles)
+    tile_ids_2d = jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
+    pad_valid_2d = (jnp.arange(chunk, dtype=jnp.int32)[None, :]
+                    < pads_t[:, None])
+    pad_key = jnp.where(pad_valid_2d, tile_ids_2d, num_tiles).reshape(-1)
 
     k_aligned = (-(-k_dup // chunk)) * chunk
     dup_pad = k_aligned - k_dup  # align the budget itself
     all_keys = jnp.concatenate([
         dup_tile_key, jnp.full((dup_pad,), num_tiles, jnp.int32), pad_key])
-    all_depth = jnp.concatenate([
-        depth, jnp.full((dup_pad + num_tiles * chunk,), jnp.inf, jnp.float32)])
     all_gid = jnp.concatenate([
         jnp.where(valid, g_of_d, p),  # sentinel for unused budget slots
         jnp.full((dup_pad + num_tiles * chunk,), p, jnp.int32)])
 
-    key_sorted, _, gid_sorted = lax.sort(
-        (all_keys, all_depth, all_gid), dimension=0, num_keys=2)
+    # stable single-key sort: within a tile, slots stay in depth order
+    key_sorted, gid_sorted = lax.sort((all_keys, all_gid), dimension=0,
+                                      num_keys=1, is_stable=True)
 
     tile_of_slot = jnp.minimum(key_sorted, num_tiles - 1)
     # chunk_tile keeps the sentinel (== num_tiles) for fully-invalid trailing
@@ -176,8 +185,10 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
         jnp.ones((1,), jnp.int32),
         (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])
 
-    used = (jnp.zeros((p + 1,), jnp.bool_)
-            .at[jnp.where(valid, g_of_d, p)].set(True)[:p])
-    return Binning(gid=gid_sorted, tile_of_slot=tile_of_slot,
+    used_sorted = (jnp.zeros((p + 1,), jnp.bool_)
+                   .at[jnp.where(valid, g_of_d, p)].set(True)[:p])
+    used = jnp.zeros((p,), jnp.bool_).at[order].set(used_sorted)
+
+    return Binning(gid=gid_sorted, order=order, tile_of_slot=tile_of_slot,
                    chunk_tile=chunk_tile, chunk_first=chunk_first,
-                   num_dup=num_dup, radius=radius, used=used)
+                   tile_len=len_t, num_dup=num_dup, radius=radius, used=used)

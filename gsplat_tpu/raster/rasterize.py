@@ -56,12 +56,14 @@ class RasterizeOutput(NamedTuple):
     final_t: jnp.ndarray   # [H, W] final transmittance
 
 
-def _slot_features(proc, gid, tile_of_slot, grid_x: int,
+def _slot_features(proc, gid, order, tile_of_slot, grid_x: int,
                    tile_x: int, tile_y: int):
     """[16, K_slots] kernel feature stream via one packed row-gather.
 
-    The quadratic form is expanded over LOCAL pixel coordinates (pixel -
-    tile origin) so fp32 stays accurate at large image sizes:
+    ``gid`` indexes DEPTH-RANK space (binning pre-sorts by depth), so the
+    per-gaussian table is permuted by ``order`` first. The quadratic form is
+    expanded over LOCAL pixel coordinates (pixel - tile origin) so fp32
+    stays accurate at large image sizes:
       power = -0.5*a*dx^2 - 0.5*c*dy^2 - b*dx*dy,  dx = px - x, dy = py - y.
     Padding slots (gid == P) get all-zero features => alpha 0 in the kernel.
     """
@@ -70,7 +72,7 @@ def _slot_features(proc, gid, tile_of_slot, grid_x: int,
         proc.xy[:, 0], proc.xy[:, 1],
         proc.conic[:, 0], proc.conic[:, 1], proc.conic[:, 2],
         proc.opacity, proc.rgb[:, 0], proc.rgb[:, 1], proc.rgb[:, 2],
-    ], axis=1)  # [P, 9] (differentiable)
+    ], axis=1)[order]  # [P, 9] in depth order (differentiable)
 
     valid = gid < p
     rows = table[jnp.minimum(gid, p - 1)]  # [K_slots, 9]
@@ -115,8 +117,8 @@ def rasterize(
         proc_ng, tile_x=s.tile_x, tile_y=s.tile_y,
         grid_x=grid_x, grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk)
 
-    feat = _slot_features(proc, binn.gid, binn.tile_of_slot, grid_x,
-                          s.tile_x, s.tile_y)
+    feat = _slot_features(proc, binn.gid, binn.order, binn.tile_of_slot,
+                          grid_x, s.tile_x, s.tile_y)
 
     c_img, t_img = tile_kernel.tile_blend(
         feat, binn.chunk_tile, binn.chunk_first, num_tiles, n_pix,

@@ -128,8 +128,10 @@ def _alphas(feat, basis, t_in):
                 w=w, rgb=rgb, opa=opa, t_new=t_new)
 
 
-def _fwd_kernel(chunk_tile, chunk_first, feat_ref, c_ref, t_ref, tcar_ref,
+def _fwd_kernel(chunk_tile, chunk_first, feat_ref, c_init_ref, t_init_ref,
+                c_ref, t_ref, tcar_ref,
                 *, n_pix: int, tile_x: int, num_tiles: int):
+    del c_init_ref, t_init_ref  # alias-initialized outputs; never read here
     k = pl.program_id(0)
     is_real = chunk_tile[k] < num_tiles  # trailing sentinel chunks: no-op
 
@@ -225,10 +227,15 @@ def _forward(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
     num_chunks = feat.shape[1] // chunk
     feat_spec, img_spec, t_spec = _common_specs(num_chunks, chunk, n_pix,
                                                 num_tiles)
+    # Empty tiles get no kernel chunks; their output blocks come from these
+    # alias-donated init buffers (background: C=0, T=1) — no patching pass.
+    c_init = jnp.zeros((num_tiles, n_pix, 3), jnp.float32)
+    t_init = jnp.ones((num_tiles, n_pix, 1), jnp.float32)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_chunks,),
-        in_specs=[feat_spec],
+        in_specs=[feat_spec, any_spec, any_spec],
         out_specs=[img_spec, t_spec],
         scratch_shapes=[pltpu.VMEM((n_pix, 1), jnp.float32)],
     )
@@ -240,7 +247,8 @@ def _forward(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
                                num_tiles=num_tiles)
     c_img, t_img = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-    )(chunk_tile, chunk_first, feat)
+        input_output_aliases={3: 0, 4: 1},  # (ct, cf, feat, c_init, t_init)
+    )(chunk_tile, chunk_first, feat, c_init, t_init)
     return c_img, t_img
 
 

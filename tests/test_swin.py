@@ -209,3 +209,30 @@ def test_swin_e2e_training(tmp_path):
                        os.path.join(out, "streamable.dat"))
     assert data["xyz"].shape[0] >= 48  # everything matured eventually
     assert np.all(np.isfinite(data["xyz"]))
+
+
+def test_render_stream_cli(tmp_path):
+    """Train a tiny swin run, then play back the streamed scene per frame."""
+    from tests.test_data import _make_swings_fixture
+    from gsplat_tpu.train.train_swin import main as swin_main
+    from gsplat_tpu.eval.render_stream import main as stream_main
+
+    _make_swings_fixture(tmp_path, n_cams=3, n_frames=3)
+    out = str(tmp_path / "model")
+    swin_main([
+        "-s", str(tmp_path), "-m", out,
+        "--iterations", "4", "--cap_max", "32", "--init_pts", "16",
+        "--max_frame", "3", "--swin_size", "2",
+        "--test_iterations", "-1", "--save_iterations", "-1",
+        "--dup_budget", "2048", "--densify_until_iter", "0",
+    ])
+    stream_main(["-m", out, "-s", str(tmp_path), "--max_frame", "3",
+                 "--frames", "0", "2", "--dup_budget", "2048"])
+    renders = os.path.join(out, "test", "stream", "renders")
+    assert len(os.listdir(renders)) == 2  # 1 test cam x 2 frames
+    import numpy as np
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join(renders,
+                                             sorted(os.listdir(renders))[0])))
+    assert img.shape[2] == 3 and np.isfinite(img).all()
