@@ -42,7 +42,7 @@ class RasterizeSettings:
     """
 
     k_dup: int
-    tile_x: int = 16
+    tile_x: int = 32
     tile_y: int = 16
     chunk: int = 128
     interpret: bool = False

@@ -46,7 +46,7 @@ class PipelineConfig:
     compute_cov3D_python: bool = False
     debug: bool = False
     # --- TPU-specific rasterizer knobs (no reference analogue) ---
-    tile_x: int = 16
+    tile_x: int = 32
     tile_y: int = 16
     chunk: int = 128
     dup_budget: int = 0  # 0 => auto (scaled from cap_max)
