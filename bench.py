@@ -17,6 +17,7 @@ the anchor is the A100 figure implied by the north-star target
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -62,7 +63,7 @@ def main():
     render_gt = jax.jit(lambda c: rasterize(*gt_scene, c, sh, bg,
                                             settings).image)
     gts = [render_gt(c) for c in cams]
-    jax.block_until_ready(gts[-1]); print("stage: gt rendered")
+    jax.block_until_ready(gts[-1]); print("stage: gt rendered", file=sys.stderr)
 
     pts = rng.uniform(-1, 1, (p_model, 3)).astype(np.float32)
     state = gaussians.create_from_points(
@@ -79,18 +80,18 @@ def main():
         k_dup=-(-k_need // settings.chunk) * settings.chunk,
         tile_x=settings.tile_x, tile_y=settings.tile_y,
         chunk=settings.chunk, interpret=on_cpu)
-    print(f"stage: dup budget {settings.k_dup}")
+    print(f"stage: dup budget {settings.k_dup}", file=sys.stderr)
     adam = optim.init(state.params())
     opt = OptimizationConfig()
     train_step = step_lib.make_train_step(opt, settings, spatial_lr_scale=4.0)
     keys = jax.random.split(jax.random.PRNGKey(0), iters + 10)
 
     # warmup / compile
-    print("stage: model init done, compiling train step")
+    print("stage: model init done, compiling train step", file=sys.stderr)
     state, adam, m = train_step(state, adam, keys[0], cams[0], gts[0], bg,
                                 jnp.asarray(1.0), sh)
     jax.block_until_ready(m.loss)
-    print("stage: warm")
+    print("stage: warm", file=sys.stderr)
 
     t0 = time.time()
     for i in range(iters):
