@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from gsplat_tpu.core.camera import CameraParams
@@ -29,6 +29,8 @@ from gsplat_tpu.train.step import masked_mean
 
 class DPMetrics(NamedTuple):
     loss: jnp.ndarray
+    l1: jnp.ndarray
+    num_dup: jnp.ndarray
     psnr: jnp.ndarray
 
 
@@ -72,10 +74,10 @@ def make_dp_train_step(mesh: Mesh, opt: OptimizationConfig,
                 jnp.abs(s.get_opacity()), alive, n_alive)
             loss = loss + opt.scale_reg * masked_mean(
                 jnp.abs(s.get_scaling()), alive, n_alive)
-            return loss, img
+            return loss, (img, ll1, out.num_dup)
 
-        (loss, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params())
+        (loss, (img, ll1, num_dup)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params())
         # all-reduce over the camera-batch axis (rides ICI)
         grads = jax.tree.map(lambda g: lax.pmean(g, axis), grads)
         loss = lax.pmean(loss, axis)
@@ -92,8 +94,10 @@ def make_dp_train_step(mesh: Mesh, opt: OptimizationConfig,
         new_state = state.replace_params(new_params)
         new_state = mcmc.inject_noise(new_state, key, opt.noise_lr, xyz_lr)
         psnr = losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt, 0, 1))
-        return new_state, new_adam, DPMetrics(loss=loss,
-                                              psnr=lax.pmean(psnr, axis))
+        return new_state, new_adam, DPMetrics(
+            loss=loss, l1=lax.pmean(ll1, axis),
+            num_dup=lax.pmax(num_dup, axis),
+            psnr=lax.pmean(psnr, axis))
 
     rep = P()
     shd = P(axis)  # prefix spec: applies to every leaf of the camera pytree
@@ -103,7 +107,7 @@ def make_dp_train_step(mesh: Mesh, opt: OptimizationConfig,
         sharded = shard_map(
             functools.partial(per_device, sh_degree=sh_degree), mesh=mesh,
             in_specs=(rep, rep, rep, shd, shd, rep, rep),
-            out_specs=(rep, rep, DPMetrics(loss=rep, psnr=rep)),
+            out_specs=(rep, rep, DPMetrics(loss=rep, l1=rep, num_dup=rep, psnr=rep)),
             check_vma=False)
 
         @functools.partial(jax.jit, donate_argnames=("state", "adam"))

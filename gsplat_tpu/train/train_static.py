@@ -95,7 +95,22 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
     settings = make_settings(pipe, capacity)
 
+    n_dp = getattr(args, "data_parallel", 1)
+    if n_dp > 1:
+        assert jax.device_count() >= n_dp, (
+            f"--data_parallel {n_dp} needs {n_dp} devices, "
+            f"have {jax.device_count()}")
+        from gsplat_tpu.parallel.dp import make_dp_train_step, stack_cameras
+        from gsplat_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dp)
+        print(f"data-parallel training over {n_dp} devices")
+
     def build_steps(s):
+        if n_dp > 1:
+            dp_builder = make_dp_train_step(mesh, opt, s, cameras_extent)
+            return (dp_builder, step_lib.make_densify_step(capacity),
+                    step_lib.make_eval_step(s))
         return (step_lib.make_train_step(opt, s, cameras_extent),
                 step_lib.make_densify_step(capacity),
                 step_lib.make_eval_step(s))
@@ -120,18 +135,32 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
             print(f"profile trace -> {model_cfg.model_path}/profile")
         sh_degree = min(iteration // 1000, model_cfg.sh_degree)
 
-        if not viewpoint_stack:
-            viewpoint_stack = list(train_cams)
-        cam_obj = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
-        camera, gt = cam_obj.load()
-        gt = jnp.asarray(gt)
-
         key, k_step, k_bg = jax.random.split(key, 3)
         step_bg = (jax.random.uniform(k_bg, (3,)) if opt.random_background
                    else bg)
-        state, adam, metrics = train_step(
-            state, adam, k_step, camera, gt, step_bg,
-            jnp.asarray(iteration, jnp.float32), sh_degree)
+        if n_dp > 1:
+            # one camera per device per step; gradients psum-averaged
+            from gsplat_tpu.parallel.dp import stack_cameras
+
+            cams, gts = [], []
+            for _ in range(n_dp):
+                if not viewpoint_stack:
+                    viewpoint_stack = list(train_cams)
+                c, g = viewpoint_stack.pop(
+                    randint(0, len(viewpoint_stack) - 1)).load()
+                cams.append(c)
+                gts.append(jnp.asarray(g))
+            state, adam, metrics = train_step(sh_degree)(
+                state, adam, k_step, stack_cameras(cams), jnp.stack(gts),
+                step_bg, jnp.asarray(iteration, jnp.float32))
+        else:
+            if not viewpoint_stack:
+                viewpoint_stack = list(train_cams)
+            cam_obj = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
+            camera, gt = cam_obj.load()
+            state, adam, metrics = train_step(
+                state, adam, k_step, camera, jnp.asarray(gt), step_bg,
+                jnp.asarray(iteration, jnp.float32), sh_degree)
         last_metrics = metrics
 
         if (opt.densify_from_iter < iteration < opt.densify_until_iter
@@ -245,6 +274,9 @@ def main(argv=None):
     parser.add_argument("--profile_iterations", nargs=2, type=int,
                         default=None,
                         help="capture a jax.profiler trace over [a, b)")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="train over N devices, one camera each per "
+                             "step (gradients psum-averaged over the mesh)")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 

@@ -84,3 +84,20 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(adam.mu["xyz"]),
                                   np.asarray(adam2.mu["xyz"]))
     assert int(adam2.count) == 1
+
+
+def test_train_static_data_parallel(blender_scene, tmp_path):
+    """CLI data-parallel training over the virtual 8-device mesh."""
+    out = str(tmp_path / "model_dp")
+    from gsplat_tpu.train.train_static import main as train_main
+
+    train_main([
+        "-s", str(blender_scene), "-m", out,
+        "--iterations", "6", "--cap_max", "64", "--init_pts", "32",
+        "--test_iterations", "-1", "--save_iterations", "6",
+        "--densify_from_iter", "2", "--densify_until_iter", "5",
+        "--densification_interval", "2",
+        "--dup_budget", "4096", "--data_parallel", "8",
+    ])
+    assert os.path.exists(
+        os.path.join(out, "point_cloud/iteration_6/point_cloud.ply"))
