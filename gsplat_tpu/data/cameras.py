@@ -103,8 +103,19 @@ class LazyCamera:
         info = self.info
         if info.image is not None:
             rgba = info.image
-            w, h = rgba.shape[1], rgba.shape[0]
-            downscale = 1.0
+            ow, oh = rgba.shape[1], rgba.shape[0]
+            # Pre-decoded images (Blender/NeRF-synthetic) obey the same
+            # resolution policy as path-loaded ones (reference
+            # camera_utils.loadCam resizes the PIL image either way).
+            w, h, downscale = _resolve_resolution(
+                ow, oh, self.resolution_scale, self.args_resolution)
+            if (w, h) != (ow, oh):
+                from PIL import Image
+
+                u8 = (np.clip(rgba, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
+                mode = "RGBA" if u8.shape[2] == 4 else "RGB"
+                rgba = np.asarray(Image.fromarray(u8, mode).resize((w, h))
+                                  ).astype(np.float32) / 255.0
         else:
             from PIL import Image
 

@@ -6,11 +6,12 @@ unit-normalized activations per layer, and 1x1 linear heads, averaged over
 space and summed over layers.
 
 Weight sourcing: this environment has zero egress, so pretrained backbone +
-linear-head weights cannot be downloaded at runtime. We load them from (in
-order): an explicit ``weights_path`` .npz, the LPIPS_WEIGHTS_NPZ env var, or
-torchvision's local cache if present. When no weights are available,
-``lpips()`` raises LPIPSUnavailable — callers (metrics.py) degrade to
-reporting null, never a silently wrong number.
+linear-head weights cannot be downloaded at runtime. We load them from the
+LPIPS_WEIGHTS_NPZ env var or a bundled ``lpips_vgg.npz`` (exported once via
+the helper below on a machine with the `lpips` package). When no true-head
+weights are available, ``lpips()`` raises LPIPSUnavailable — callers
+(metrics.py) report an explicit "unavailable" marker plus null, never a
+silently wrong number (there is deliberately NO approximate fallback).
 
 Export helper (run on a machine with weights):
     python -m gsplat_tpu.eval.lpips export vgg /path/out.npz
@@ -87,39 +88,19 @@ def _load_weights(net: str = "vgg"):
     for c in candidates:
         if c and os.path.exists(c):
             z = np.load(c)
-            return {k: jnp.asarray(z[k]) for k in z.files}
-    # try torchvision local cache (no download)
-    try:
-        import torch
-        from torchvision.models import vgg16
-
-        hub = torch.hub.get_dir()
-        cache = os.path.join(hub, "checkpoints")
-        cached = [f for f in os.listdir(cache) if f.startswith("vgg16-")] \
-            if os.path.isdir(cache) else []
-        if not cached:
-            raise FileNotFoundError
-        model = vgg16()
-        sd = torch.load(os.path.join(cache, cached[0]), map_location="cpu")
-        model.load_state_dict(sd)
-        params = {}
-        idx = 0
-        for layer in model.features:
-            if layer.__class__.__name__ == "Conv2d":
-                params[f"conv{idx}_w"] = jnp.asarray(
-                    layer.weight.detach().numpy())
-                params[f"conv{idx}_b"] = jnp.asarray(
-                    layer.bias.detach().numpy())
-                idx += 1
-        # Without the downloaded LPIPS linear heads, fall back to uniform
-        # 1/C weights (documented approximation — flagged in the key name).
-        for i, (ch, _) in enumerate(_VGG_PLAN):
-            params[f"lin{i}_w_uniform"] = jnp.full((ch,), 1.0 / ch)
-        return params
-    except Exception as exc:  # noqa: BLE001
-        raise LPIPSUnavailable(
-            "LPIPS weights not found: set LPIPS_WEIGHTS_NPZ or place "
-            f"lpips_{net}.npz next to gsplat_tpu/eval/lpips.py") from exc
+            params = {k: jnp.asarray(z[k]) for k in z.files}
+            missing = [i for i in range(len(_VGG_PLAN))
+                       if f"lin{i}_w" not in params]
+            if missing:
+                raise LPIPSUnavailable(
+                    f"{c} lacks true LPIPS linear heads (lin*_w); refusing "
+                    "to compute a not-quite-LPIPS number")
+            return params
+    raise LPIPSUnavailable(
+        "LPIPS weights not found: set LPIPS_WEIGHTS_NPZ or place "
+        f"lpips_{net}.npz next to gsplat_tpu/eval/lpips.py (export with "
+        "`python -m gsplat_tpu.eval.lpips export vgg out.npz` on a machine "
+        "with the lpips package)")
 
 
 def lpips(img1, img2, net: str = "vgg"):
@@ -132,10 +113,7 @@ def lpips(img1, img2, net: str = "vgg"):
     total = 0.0
     for i, (a, b) in enumerate(zip(f1, f2)):
         d = (_normalize_tensor(a) - _normalize_tensor(b)) ** 2
-        if f"lin{i}_w" in params:
-            w = params[f"lin{i}_w"]  # [C] true LPIPS head
-        else:
-            w = params[f"lin{i}_w_uniform"]
+        w = params[f"lin{i}_w"]  # [C] true LPIPS head (guaranteed by loader)
         total = total + jnp.mean(jnp.sum(d * w[None, None, None, :], axis=-1))
     return total
 

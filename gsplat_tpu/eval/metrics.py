@@ -76,6 +76,13 @@ def evaluate(model_paths):
                 "PSNR": float(np.mean(psnrs)),
                 "LPIPS": float(np.mean(lpipss)) if lpipss else None,
             }
+            if lpipss is None:
+                # Unambiguous marker: null means "metric unavailable in this
+                # environment", never "zero" (VERDICT r1 #10).
+                full_dict[method]["LPIPS_note"] = (
+                    "unavailable: true LPIPS-v0.1 linear-head weights not "
+                    "present (zero-egress environment); see "
+                    "gsplat_tpu/eval/lpips.py for the export recipe")
             per_view_dict[method] = {
                 "SSIM": dict(zip(names, ssims)),
                 "PSNR": dict(zip(names, psnrs)),

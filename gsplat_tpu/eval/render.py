@@ -19,9 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gsplat_tpu import renderer
 from gsplat_tpu.data.scene import Scene
 from gsplat_tpu.model import gaussians
-from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
 from gsplat_tpu.train.config import (ModelConfig, PipelineConfig,
                                      add_config_args, extract_config,
                                      load_combined_args)
@@ -50,11 +50,8 @@ def render_set(model_path, split, iteration, cameras, state, settings, bg):
 
     @jax.jit
     def render_one(camera):
-        out = rasterize(state.xyz, state.get_scaling(), state.get_rotation(),
-                        state.get_opacity()[:, 0], state.get_features(),
-                        camera, state.max_sh_degree, bg, settings,
-                        alive=state.alive_mask)
-        return jnp.clip(out.image, 0.0, 1.0)
+        out = renderer.render(camera, state, bg, settings)
+        return jnp.clip(out["render"], 0.0, 1.0)
 
     for idx, cam_obj in enumerate(cameras):
         camera, gt = cam_obj.load()

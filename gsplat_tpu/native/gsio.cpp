@@ -59,17 +59,22 @@ int64_t gsio_parse_points3d(const uint8_t* buf, int64_t n_bytes,
         std::memcpy(err_out + i, buf + off + 35, 8);
         uint64_t track;
         std::memcpy(&track, buf + off + 43, 8);
+        // Bound the untrusted variable-length payload BEFORE advancing:
+        // a crafted track count must not wrap the offset or run past EOF.
+        if (track > static_cast<uint64_t>(n_bytes - off - 51) / 8) return -1;
         off += 51 + 8 * static_cast<int64_t>(track);
-        if (off > n_bytes) return -1;
     }
     return static_cast<int64_t>(count);
 }
 
 // Count points without filling (caller allocates then calls parse).
+// Validates the header count against the minimum record size so callers can
+// safely allocate count-proportional buffers before parsing.
 int64_t gsio_count_points3d(const uint8_t* buf, int64_t n_bytes) {
     if (n_bytes < 8) return -1;
     uint64_t count;
     std::memcpy(&count, buf, 8);
+    if (count > static_cast<uint64_t>(n_bytes - 8) / 51) return -1;
     return static_cast<int64_t>(count);
 }
 
@@ -104,16 +109,20 @@ int64_t gsio_parse_images(const uint8_t* buf, int64_t n_bytes,
         uint64_t n2d;
         if (off + 8 > n_bytes) return -1;
         std::memcpy(&n2d, buf + off, 8);
+        // Same untrusted-count discipline as points3d: bound n2d before
+        // advancing so the offset stays monotonic and in-range.
+        if (n2d > static_cast<uint64_t>(n_bytes - off - 8) / 24) return -1;
         off += 8 + 24 * static_cast<int64_t>(n2d);
-        if (off > n_bytes) return -1;
     }
     return static_cast<int64_t>(count);
 }
 
+// Min image record: 64 fixed + 1 NUL + 8 n2d = 73 bytes.
 int64_t gsio_count_images(const uint8_t* buf, int64_t n_bytes) {
     if (n_bytes < 8) return -1;
     uint64_t count;
     std::memcpy(&count, buf, 8);
+    if (count > static_cast<uint64_t>(n_bytes - 8) / 73) return -1;
     return static_cast<int64_t>(count);
 }
 

@@ -29,12 +29,24 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True if the built .so is missing or older than its sources."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for src in ("gsio.cpp", "Makefile"):
+        path = os.path.join(_DIR, src)
+        if os.path.exists(path) and os.path.getmtime(path) > so_mtime:
+            return True
+    return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    if _stale() and not _build() and not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     u8p = ctypes.POINTER(ctypes.c_uint8)

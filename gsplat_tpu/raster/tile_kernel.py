@@ -231,7 +231,7 @@ def _forward(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
     # alias-donated init buffers (background: C=0, T=1) — no patching pass.
     c_init = jnp.zeros((num_tiles, n_pix, 3), jnp.float32)
     t_init = jnp.ones((num_tiles, n_pix, 1), jnp.float32)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_chunks,),

@@ -171,29 +171,23 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
         if iteration % 10 == 0:
             loss = float(metrics.loss)
             ema_loss = 0.4 * loss + 0.6 * ema_loss
+            num_dup = int(metrics.num_dup)
             if tb_writer:
                 tb_writer.add_scalar("train_loss_patches/l1_loss",
                                      float(metrics.l1), iteration)
                 tb_writer.add_scalar("train_loss_patches/total_loss", loss,
                                      iteration)
-        if iteration % 100 == 0:
-            dt = (time.time() - t_start) / min(iteration - first_iter, 100)
-            t_start = time.time()
-            num_dup = int(metrics.num_dup)
-            print(f"[ITER {iteration}] loss={float(metrics.loss):.5f} "
-                  f"ema={ema_loss:.5f} psnr={float(metrics.psnr):.2f} "
-                  f"n={int(state.n_alive)} dup={num_dup}/"
-                  f"{settings.k_dup} {dt * 1000:.1f}ms/it")
-            if tb_writer:
-                tb_writer.add_scalar("iter_time", dt * 1000, iteration)
-                tb_writer.add_scalar("total_points", int(state.n_alive),
-                                     iteration)
-            # adaptive duplicate budget: grow on (near-)overflow — never
-            # train on silent truncation — and shrink when grossly oversized
-            # (every k-proportional stage speeds up). Recompiles are rare.
+            # adaptive duplicate budget: grow on (near-)overflow at every
+            # loss fetch — never train long on silent truncation — and
+            # shrink when grossly oversized (every k-proportional stage
+            # speeds up). Recompiles are rare.
             new_k = None
             if num_dup > 0.95 * settings.k_dup:
                 new_k = int(num_dup * 1.5)
+                if num_dup > settings.k_dup:
+                    print(f"  WARNING: duplicate budget overflowed "
+                          f"({num_dup} > {settings.k_dup}); recent steps "
+                          f"trained on truncated tile lists")
             elif (iteration % 1000 == 0 and settings.k_dup > 1 << 16
                   and num_dup < 0.35 * settings.k_dup):
                 new_k = max(int(num_dup * 1.6), 1 << 16)
@@ -202,6 +196,17 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                 settings = dataclasses.replace(settings, k_dup=new_k)
                 print(f"  duplicate budget -> {new_k} (recompiling)")
                 train_step, densify_step, eval_step = build_steps(settings)
+        if iteration % 100 == 0:
+            dt = (time.time() - t_start) / min(iteration - first_iter, 100)
+            t_start = time.time()
+            print(f"[ITER {iteration}] loss={float(metrics.loss):.5f} "
+                  f"ema={ema_loss:.5f} psnr={float(metrics.psnr):.2f} "
+                  f"n={int(state.n_alive)} dup={int(metrics.num_dup)}/"
+                  f"{settings.k_dup} {dt * 1000:.1f}ms/it")
+            if tb_writer:
+                tb_writer.add_scalar("iter_time", dt * 1000, iteration)
+                tb_writer.add_scalar("total_points", int(state.n_alive),
+                                     iteration)
 
         if iteration in args.test_iterations and test_cams:
             _report_eval(tb_writer, eval_step, state, test_cams, bg,

@@ -109,6 +109,12 @@ def train_slide_window(state, adam, scene: DynamicScene,
             if hasattr(args, "_dup_high_water"):
                 args._dup_high_water = max(args._dup_high_water,
                                            int(m.num_dup))
+                budget = getattr(args, "_dup_budget", 0)
+                if budget and int(m.num_dup) > budget:
+                    print(f"  WARNING: duplicate budget overflowed "
+                          f"({int(m.num_dup)} > {budget}); recent steps "
+                          f"trained on truncated tile lists (budget grows "
+                          f"at the next window)")
 
         if it in args.test_iterations:
             _eval_report(state, scene, swin_mgr, eval_step, bg,
@@ -190,6 +196,7 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
     settings = make_settings(pipe, 2 * capacity)
     args._dup_high_water = 0
+    args._dup_budget = settings.k_dup
 
     arap_w = (0.1, 0.1, 0.1) if getattr(args, "enable_arap", False) else None
 
@@ -225,6 +232,7 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
             new_k = -(-int(args._dup_high_water * 1.5)
                       // settings.chunk) * settings.chunk
             settings = _dc.replace(settings, k_dup=new_k)
+            args._dup_budget = new_k
             print(f"duplicate budget -> {new_k} (recompiling)")
             train_step, densify, eval_step = build_steps(settings)
         state, adam = evolve(state, adam, swin_mgr, dump_path,

@@ -57,7 +57,8 @@ def main(argv=None):
                             state.get_rotation(), state.get_opacity()[:, 0],
                             state.get_features(), camera,
                             state.max_sh_degree, jnp.zeros(3), settings,
-                            scale_modifier=1.0, alive=state.alive_mask)
+                            scale_modifier=scaling_modifier,
+                            alive=state.alive_mask)
             return jnp.clip(out.image, 0.0, 1.0)
 
         return f

@@ -9,6 +9,8 @@ import pytest
 
 from tests.test_data import _make_blender_fixture
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def blender_scene(tmp_path_factory):

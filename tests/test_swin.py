@@ -183,6 +183,7 @@ def test_swin_add_new_copies_lifespans():
     assert float(st2.frame_start[20]) == 1.0
 
 
+@pytest.mark.slow
 def test_swin_e2e_training(tmp_path):
     """Short sliding-window training on a synthetic SwinGS dataset: runs
     genesis + 2 window ticks, streams matured gaussians, stays finite."""
@@ -211,6 +212,7 @@ def test_swin_e2e_training(tmp_path):
     assert np.all(np.isfinite(data["xyz"]))
 
 
+@pytest.mark.slow
 def test_render_stream_cli(tmp_path):
     """Train a tiny swin run, then play back the streamed scene per frame."""
     from tests.test_data import _make_swings_fixture

@@ -2,6 +2,8 @@
 Gaussian model against ground-truth renders of a known scene; PSNR must
 climb substantially. Self-contained — no dataset on disk required."""
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -14,6 +16,8 @@ from gsplat_tpu.model import gaussians, optim
 from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
 from gsplat_tpu.train import step as step_lib
 from gsplat_tpu.train.config import OptimizationConfig
+
+pytestmark = pytest.mark.slow
 
 W, H = 64, 64
 SH_DEGREE = 1
