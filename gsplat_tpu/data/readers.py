@@ -249,14 +249,21 @@ def read_google_immersive_scene(path: str, eval_split=True, llffhold: int = 8,
 
 def read_dynamic_scene(path: str, eval_split=True, llffhold: int = 8,
                        init_type: str = "random", num_pts: int = 100_000,
-                       max_frame: int = 100, tempo_shuffle: bool = False
-                       ) -> DynamicSceneInfo:
+                       max_frame: int = 100, min_frame: int = 0,
+                       tempo_shuffle: bool = False) -> DynamicSceneInfo:
     """SwinGS layout: images_per_frame/<t>/ + cam.json
-    (dataset_readers.py:427-525)."""
+    (dataset_readers.py:427-525).
+
+    Frames ``min_frame..max_frame-1`` are loaded (the reference's Scene loads
+    that range, scene/__init__.py:167-168) and REBASED to ``0..span-1``
+    (camera_utils.py:92: frame = c.frame - min_frame) so sliding-window
+    lifespans always start at 0; image paths keep the on-disk frame number.
+    """
+    assert 0 <= min_frame < max_frame, (min_frame, max_frame)
     with open(os.path.join(path, "cam.json")) as f:
         cams_para = json.load(f)
     reading_dir = "images_per_frame"
-    for t in range(max_frame):
+    for t in range(min_frame, max_frame):
         d = os.path.join(path, reading_dir, str(t))
         assert os.path.exists(d), f"missing frame dir: {d}"
 
@@ -264,7 +271,7 @@ def read_dynamic_scene(path: str, eval_split=True, llffhold: int = 8,
 
     def at_frame(c: CameraInfo, t: int) -> CameraInfo:
         return dataclasses.replace(
-            c, uid=f"{t}.{c.uid}", frame=t,
+            c, uid=f"{t}.{c.uid}", frame=t - min_frame,
             image_name=os.path.join(str(t), c.image_name),
             image_path=os.path.join(path, reading_dir, str(t), c.image_name))
 
@@ -273,7 +280,7 @@ def read_dynamic_scene(path: str, eval_split=True, llffhold: int = 8,
     if eval_split:
         if tempo_shuffle:
             random.seed(42)
-        for t in range(max_frame):
+        for t in range(min_frame, max_frame):
             if tempo_shuffle:
                 random.shuffle(split)
             trains = [at_frame(c, t) for i, c in enumerate(split)
@@ -283,7 +290,7 @@ def read_dynamic_scene(path: str, eval_split=True, llffhold: int = 8,
             train_at.append(trains)
             test_at.append(tests)
     else:
-        for t in range(max_frame):
+        for t in range(min_frame, max_frame):
             train_at.append([at_frame(c, t) for c in split])
             test_at.append([])
 

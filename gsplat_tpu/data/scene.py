@@ -96,16 +96,21 @@ class DynamicScene:
     def __init__(self, source_path: str, model_path: str,
                  eval_split: bool = True, resolution: int = -1,
                  init_type: str = "random", num_pts: int = 100_000,
-                 max_frame: int = 100, shuffle: bool = True,
+                 max_frame: int = 100, min_frame: int = 0,
+                 shuffle: bool = True,
                  max_in_memory: int = MAX_FRAME_IN_MEMORY,
                  max_test_in_memory: int = MAX_TEST_FRAME_IN_MEMORY):
         self.model_path = model_path
         info: DynamicSceneInfo = SCENE_LOAD_CALLBACKS["SwinGS"](
             source_path, eval_split=eval_split, init_type=init_type,
-            num_pts=num_pts, max_frame=max_frame)
+            num_pts=num_pts, max_frame=max_frame, min_frame=min_frame)
         self.info = info
         self.cameras_extent = info.radius
-        self.max_frame = max_frame
+        self.min_frame = min_frame
+        # Frames are rebased to 0..num_frames-1 by the reader; every consumer
+        # (SliWinManager, lifespans, stream dump) works in rebased space.
+        self.num_frames = max_frame - min_frame
+        self.max_frame = self.num_frames
         self.max_in_memory = max_in_memory
         self.max_test_in_memory = max_test_in_memory
 

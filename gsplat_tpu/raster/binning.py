@@ -8,23 +8,27 @@ Design (SURVEY.md §2d): JAX shapes must be static, so instead of allocating
 ``num_rendered`` duplicates we fix a duplicate budget ``k_dup``. Overflow is
 reported, never silent (``num_dup`` vs k_dup).
 
-TPU performance notes:
-- Element-wise gather/scatter/searchsorted are the enemy. Every
-  variable-length range lookup is a SCATTER of O(P) range-start markers
-  followed by a cumulative max (a vectorized prefix scan):
-      owner(d)      = cummax_d( scatter(g          at offsets[g]) )
-      range_base(d) = cummax_d( scatter(offsets[g] at offsets[g]) )
+TPU performance notes (validated against jax.profiler traces, round 2):
+- Gather/scatter cost ~8-15 ns PER INDEX regardless of payload width, so
+  the design minimizes index counts: one packed row-gather per duplicate
+  (then a single layout copy to a dense ``[cols, K]`` array that every
+  elementwise consumer reads cheaply), and NO per-duplicate histograms.
+- The per-tile duplicate counts (the reference's tiles_touched scan) come
+  from an MXU matmul: y-coverage [grid_y, P] @ x-coverage [P, grid_x] of
+  the tile rects — exact for 0/1 inputs even at bf16, zero scatters.
 - Gaussians are PRE-SORTED by depth, so the big per-duplicate sort is a
-  STABLE single-key (tile) sort — depth order within each tile comes for
-  free and the depth array never rides through the bitonic passes.
+  STABLE single-key (tile) sort; when bits allow, key and payload are
+  PACKED into one uint32 (tile high, depth rank low) and the sort runs
+  over a single array — the TPU analogue of the reference's 64-bit
+  [tile|depth] radix keys (rasterizer_impl.cu:90-103).
 - Tile-list padding (each non-empty tile's list padded to a CHUNK multiple
   for the Pallas kernel) is fused INTO the sort via per-tile pad candidates
-  that sort behind their tile's real duplicates. Empty tiles get no slots at
-  all; their output blocks are patched to background outside the kernel
-  (see rasterize.py, `tile_len`).
-- Binning rects use the exact alpha-cutoff radius min(3sigma, r_cut) and a
-  per-duplicate eigenvalue-bound contribution cull — both image-identical
-  to the reference's semantics, both sharply reducing duplicate counts.
+  that sort behind their tile's real duplicates. Empty tiles get no slots.
+- Binning rects use the exact alpha-cutoff radius min(3sigma, r_cut); a
+  per-duplicate eigenvalue-bound contribution cull marks never-contributing
+  duplicates with the sentinel rank (zero features in the kernel — they
+  keep their slot so the coverage matmul stays exact) — both
+  image-identical to the reference's semantics.
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ class Binning(NamedTuple):
     tile_of_slot: jnp.ndarray  # [K_slots] int32 tile id (clamped)
     chunk_tile: jnp.ndarray   # [K_slots/chunk] int32 tile per kernel chunk
     chunk_first: jnp.ndarray  # [K_slots/chunk] int32 1 at a tile's 1st chunk
-    tile_len: jnp.ndarray     # [T] int32 real duplicates per tile
+    tile_len: jnp.ndarray     # [T] int32 rect duplicates per tile
     num_dup: jnp.ndarray      # [] int32 true duplicate count (overflow if > k_dup)
     radius: jnp.ndarray       # [P] int32 radius, empty-rect Gaussians zeroed
                               # (matches forward.cu:236-237 early-out)
@@ -64,6 +68,21 @@ def _owner_scan(starts, values, k: int, fill):
 def num_slots(k_dup: int, num_tiles: int, chunk: int) -> int:
     """Static padded slot count: budget + one pad chunk per tile."""
     return (-(-k_dup // chunk)) * chunk + num_tiles * chunk
+
+
+def _tile_histogram(min_x, min_y, max_x, max_y, active, grid_x, grid_y):
+    """Per-tile rect-coverage counts WITHOUT a scatter histogram: one MXU
+    matmul of interval-coverage masks. 0/1 inputs make bf16 matmul exact;
+    counts < 2^24 are exact in the f32 accumulator."""
+    gy = jnp.arange(grid_y, dtype=jnp.int32)[:, None]    # [grid_y, 1]
+    gx = jnp.arange(grid_x, dtype=jnp.int32)[None, :]    # [1, grid_x]
+    cov_y = ((gy >= min_y[None, :]) & (gy < max_y[None, :])
+             & active[None, :]).astype(jnp.float32)      # [grid_y, P]
+    cov_x = ((gx >= min_x[:, None]) & (gx < max_x[:, None])
+             ).astype(jnp.float32)                       # [P, grid_x]
+    counts = lax.dot_general(cov_y, cov_x, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return counts.reshape(-1).astype(jnp.int32)          # [grid_y * grid_x]
 
 
 def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
@@ -93,14 +112,14 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     r_bin = jnp.where(proc.opacity >= 1.0 / 255.0, r_bin, 0)
 
     # ---- depth pre-sort: all later work happens in depth-rank space ----
-    depth_key = jnp.where(proc.visible & (r_bin > 0), proc.depth, jnp.inf)
+    active = proc.visible & (r_bin > 0)
+    depth_key = jnp.where(active, proc.depth, jnp.inf)
     _, order = lax.sort((depth_key, jnp.arange(p, dtype=jnp.int32)),
                         dimension=0, num_keys=1)
 
     min_x, min_y, max_x, max_y = tile_rect(
         proc.xy, r_bin, tile_x, tile_y, grid_x, grid_y)
-    counts = jnp.where(proc.visible & (r_bin > 0),
-                       (max_x - min_x) * (max_y - min_y), 0
+    counts = jnp.where(active, (max_x - min_x) * (max_y - min_y), 0
                        ).astype(jnp.int32)[order]
     # radii output keeps the reference's 3-sigma semantics (forward.cu:251):
     # zero only when the 3-sigma rect itself is empty.
@@ -114,52 +133,63 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     num_dup = offsets[-1]
 
     # --- duplicate expansion: slot -> owning gaussian via marker scans ---
+    # Everything per-duplicate comes from cummax owner-scans — ZERO gathers.
+    # Arbitrary (non-monotone) per-gaussian values ride the scans packed as
+    # (depth_rank << bits) | value: ranks strictly increase across range
+    # starts, so the cumulative max always carries the LATEST range's pack.
+    # (Per-index gather/scatter costs ~8ns on TPU; a fused scan pass costs
+    # ~0.4ns/element — jax.profiler round 2.)
     g_ids = jnp.arange(p, dtype=jnp.int32)
     starts = jnp.where(counts > 0, offsets[:p], k_dup)  # >= k_dup => dropped
-    g_of_d = _owner_scan(starts, g_ids, k_dup, jnp.int32(0))
+    rank_bits = max(int(p).bit_length(), 1)  # holds values 0..p inclusive
+    xb = max(int(grid_x).bit_length(), 1)    # holds 0..grid_x inclusive
+    yb = max(int(grid_y).bit_length(), 1)
+    assert rank_bits + xb + yb <= 31, (
+        f"pack overflow: P={p} grid={grid_x}x{grid_y}; shrink cap or grid")
+
+    minx_d = jnp.stack([min_x, min_y], 1)[order]  # [P, 2] tiny row gather
+    rect_pack = ((g_ids << (xb + yb))
+                 | (minx_d[:, 0] << yb) | minx_d[:, 1])
+    w_g = jnp.maximum(max_x - min_x, 1)[order]
+    w_pack = (g_ids << xb) | w_g
+
     base_of_d = _owner_scan(starts, offsets[:p], k_dup, jnp.int32(0))
+    rect_d = _owner_scan(starts, rect_pack, k_dup, jnp.int32(0))
+    w_d = _owner_scan(starts, w_pack, k_dup, jnp.int32(1)) & ((1 << xb) - 1)
     d = jnp.arange(k_dup, dtype=jnp.int32)
     r = d - base_of_d
 
-    # packed per-gaussian rect/conic table IN DEPTH ORDER -> one row gather
-    table = jnp.stack([min_x.astype(jnp.float32), min_y.astype(jnp.float32),
-                       jnp.maximum(max_x - min_x, 1).astype(jnp.float32),
-                       proc.xy[:, 0], proc.xy[:, 1],
-                       proc.opacity, lmin_], axis=1)[order]  # [P, 7]
-    rows = table[g_of_d]  # [k_dup, 7]
-    w = rows[:, 2].astype(jnp.int32)
-    tx = rows[:, 0].astype(jnp.int32) + r % w
-    ty = rows[:, 1].astype(jnp.int32) + r // w
+    g_of_d = rect_d >> (xb + yb)  # depth rank rides the rect pack
+    minx_dd = (rect_d >> yb) & ((1 << xb) - 1)
+    miny_dd = rect_d & ((1 << yb) - 1)
+    w_dd = jnp.maximum(w_d, 1)
+    tx = minx_dd + r % w_dd
+    ty = miny_dd + r // w_dd
     tile_id = ty * grid_x + tx
 
-    # Contribution culling (conservative, image-exact): the kernel skips any
-    # contribution with alpha < 1/255 (forward.cu:345-346). For every pixel q
-    # of the tile, power(q) <= -0.5 * lmin(conic) * |q - center|^2, so if
-    # opa * exp(-0.5 * lmin * dist^2) < 1/255 with dist the center-to-tile
-    # distance, the duplicate cannot contribute anywhere in its tile.
-    cx = jnp.clip(rows[:, 3],
-                  (tx * tile_x).astype(jnp.float32),
-                  (tx * tile_x + (tile_x - 1)).astype(jnp.float32))
-    cy = jnp.clip(rows[:, 4],
-                  (ty * tile_y).astype(jnp.float32),
-                  (ty * tile_y + (tile_y - 1)).astype(jnp.float32))
-    dx = cx - rows[:, 3]
-    dy = cy - rows[:, 4]
-    power_bound = -0.5 * rows[:, 6] * (dx * dx + dy * dy)
-    # tiny safety margin so f32 rounding can't drop a borderline contribution
-    contributes = rows[:, 5] * jnp.exp(power_bound) >= (0.999 / 255.0)
-
-    valid = (d < num_dup) & contributes
-    dup_tile_key = jnp.where(valid, tile_id, num_tiles).astype(jnp.int32)
+    # A duplicate is real iff it lies inside its gaussian's rect AND the
+    # whole rect fits in the budget (partially-fitting gaussians are dropped
+    # wholesale so the coverage histogram below stays exactly consistent
+    # with the sorted keys; overflow is reported via num_dup and the
+    # training loops regrow the budget). No per-duplicate contribution cull:
+    # the kernel's own 1/255 alpha floor drops sub-threshold contributions
+    # per pixel (forward.cu:345-346 semantics), image-identically.
+    # fill 0 (NOT a large sentinel: the fill must lose the max-scatter);
+    # slots before the first range then get next_start 0 => not in budget.
+    next_start = _owner_scan(starts, offsets[1:p + 1], k_dup, jnp.int32(0))
+    in_budget = (d < next_start) & (next_start <= k_dup)
+    dup_key = jnp.where(in_budget, tile_id, num_tiles).astype(jnp.int32)
+    dup_rank = jnp.where(in_budget, g_of_d, p)
 
     # --- per-tile pad candidates so sorted order is chunk-aligned ---
-    # len_t via histogram; pads only for NON-EMPTY tiles (empty tiles get no
-    # slots; their output blocks are patched outside the kernel)
-    len_t = jnp.zeros((num_tiles,), jnp.int32).at[dup_tile_key].add(
-        valid.astype(jnp.int32), mode="drop")
-    pads_t = jnp.where(
-        len_t > 0, (-(-len_t // chunk)) * chunk - len_t, 0)  # [0, chunk)
-    # broadcasting instead of a [T*chunk] gather (2ms saved at 2500 tiles)
+    # (rect counts per tile from the MXU coverage matmul, masked to the
+    # same fully-fitting gaussians; pads only for NON-EMPTY tiles — empty
+    # tiles get no slots at all)
+    fits = (counts > 0) & (offsets[:p] + counts <= k_dup)
+    rects_d = jnp.stack([min_x, min_y, max_x, max_y], axis=1)[order]
+    len_t = _tile_histogram(rects_d[:, 0], rects_d[:, 1], rects_d[:, 2],
+                            rects_d[:, 3], fits, grid_x, grid_y)
+    pads_t = jnp.where(len_t > 0, (-(-len_t // chunk)) * chunk - len_t, 0)
     tile_ids_2d = jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
     pad_valid_2d = (jnp.arange(chunk, dtype=jnp.int32)[None, :]
                     < pads_t[:, None])
@@ -168,14 +198,24 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     k_aligned = (-(-k_dup // chunk)) * chunk
     dup_pad = k_aligned - k_dup  # align the budget itself
     all_keys = jnp.concatenate([
-        dup_tile_key, jnp.full((dup_pad,), num_tiles, jnp.int32), pad_key])
-    all_gid = jnp.concatenate([
-        jnp.where(valid, g_of_d, p),  # sentinel for unused budget slots
-        jnp.full((dup_pad + num_tiles * chunk,), p, jnp.int32)])
+        dup_key, jnp.full((dup_pad,), num_tiles, jnp.int32), pad_key])
+    all_rank = jnp.concatenate([
+        dup_rank, jnp.full((dup_pad + num_tiles * chunk,), p, jnp.int32)])
 
-    # stable single-key sort: within a tile, slots stay in depth order
-    key_sorted, gid_sorted = lax.sort((all_keys, all_gid), dimension=0,
-                                      num_keys=1, is_stable=True)
+    # stable single-key sort: within a tile, slots stay in depth order.
+    # Packed single-array path when (tile, rank) fits in 32 bits — the
+    # common case (e.g. 4096 tiles x 1M cap is the boundary).
+    rank_bits = max(int(p).bit_length(), 1)  # holds 0..p inclusive
+    if (num_tiles + 1) <= (1 << (32 - rank_bits)):
+        packed = ((all_keys.astype(jnp.uint32) << rank_bits)
+                  | all_rank.astype(jnp.uint32))
+        packed = lax.sort(packed, dimension=0)
+        key_sorted = (packed >> rank_bits).astype(jnp.int32)
+        gid_sorted = (packed & jnp.uint32((1 << rank_bits) - 1)
+                      ).astype(jnp.int32)
+    else:
+        key_sorted, gid_sorted = lax.sort((all_keys, all_rank), dimension=0,
+                                          num_keys=1, is_stable=True)
 
     tile_of_slot = jnp.minimum(key_sorted, num_tiles - 1)
     # chunk_tile keeps the sentinel (== num_tiles) for fully-invalid trailing
@@ -186,7 +226,7 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
         (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])
 
     used_sorted = (jnp.zeros((p + 1,), jnp.bool_)
-                   .at[jnp.where(valid, g_of_d, p)].set(True)[:p])
+                   .at[dup_rank].set(True, mode="drop")[:p])
     used = jnp.zeros((p,), jnp.bool_).at[order].set(used_sorted)
 
     return Binning(gid=gid_sorted, order=order, tile_of_slot=tile_of_slot,

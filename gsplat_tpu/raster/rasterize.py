@@ -56,16 +56,19 @@ class RasterizeOutput(NamedTuple):
     final_t: jnp.ndarray   # [H, W] final transmittance
 
 
-def _slot_features(proc, gid, order, tile_of_slot, grid_x: int,
-                   tile_x: int, tile_y: int):
-    """[16, K_slots] kernel feature stream via one packed row-gather.
+def _slot_features(proc, gid, order):
+    """[9, K_slots] RAW kernel feature rows (x, y, a, b, c, opa, rgb).
 
     ``gid`` indexes DEPTH-RANK space (binning pre-sorts by depth), so the
-    per-gaussian table is permuted by ``order`` first. The quadratic form is
-    expanded over LOCAL pixel coordinates (pixel - tile origin) so fp32
-    stays accurate at large image sizes:
-      power = -0.5*a*dx^2 - 0.5*c*dy^2 - b*dx*dy,  dx = px - x, dy = py - y.
-    Padding slots (gid == P) get all-zero features => alpha 0 in the kernel.
+    per-gaussian table is permuted by ``order`` first (a P-row gather —
+    cheap), then ONE row-gather per slot (per-index gather cost amortized
+    over the 9-float row) and one layout copy to the dense [9, K] array the
+    kernel streams. The quadratic-form expansion to local pixel coordinates
+    happens INSIDE the Pallas kernel (tile_kernel._alphas) — in XLA it
+    materialized as a dozen lane-padded refetch fusions.
+    Padding slots (gid == P) get all-zero rows => alpha 0 in the kernel.
+    The backward of the row gather is the per-gaussian scatter-add that
+    replaces the reference's atomicAdd reduction (backward.cu:523-554).
     """
     p = proc.xy.shape[0]
     table = jnp.stack([
@@ -74,23 +77,9 @@ def _slot_features(proc, gid, order, tile_of_slot, grid_x: int,
         proc.opacity, proc.rgb[:, 0], proc.rgb[:, 1], proc.rgb[:, 2],
     ], axis=1)[order]  # [P, 9] in depth order (differentiable)
 
-    valid = gid < p
-    rows = table[jnp.minimum(gid, p - 1)]  # [K_slots, 9]
-
-    ox = (tile_of_slot % grid_x).astype(jnp.float32) * tile_x
-    oy = (tile_of_slot // grid_x).astype(jnp.float32) * tile_y
-    x = rows[:, 0] - ox
-    y = rows[:, 1] - oy
-    a, b, c = rows[:, 2], rows[:, 3], rows[:, 4]
-    zeros = jnp.zeros_like(a)
-    feat = jnp.stack([
-        -0.5 * a, -0.5 * c, -b,
-        a * x + b * y, c * y + b * x,
-        -0.5 * (a * x * x + c * y * y) - b * x * y,
-        rows[:, 6], rows[:, 7], rows[:, 8], rows[:, 5],
-        zeros, zeros, zeros, zeros, zeros, zeros,
-    ], axis=0)  # [16, K_slots]
-    return feat * valid.astype(jnp.float32)[None, :]
+    valid = (gid < p).astype(jnp.float32)
+    rows = table[jnp.minimum(gid, p - 1)] * valid[:, None]  # [K_slots, 9]
+    return rows.T  # [9, K_slots] dense
 
 
 def rasterize(
@@ -117,12 +106,11 @@ def rasterize(
         proc_ng, tile_x=s.tile_x, tile_y=s.tile_y,
         grid_x=grid_x, grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk)
 
-    feat = _slot_features(proc, binn.gid, binn.order, binn.tile_of_slot,
-                          grid_x, s.tile_x, s.tile_y)
+    feat = _slot_features(proc, binn.gid, binn.order)
 
     c_img, t_img = tile_kernel.tile_blend(
         feat, binn.chunk_tile, binn.chunk_first, num_tiles, n_pix,
-        s.tile_x, s.chunk, s.interpret)
+        s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret)
 
     # Assemble tile-major buffers into the image and composite background.
     def assemble(img_t, ch):

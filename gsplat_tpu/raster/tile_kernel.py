@@ -23,14 +23,16 @@ from the CUDA version — designed for the VPU/MXU and XLA's static shapes:
   per-duplicate gradients; reduction to per-Gaussian gradients is a
   scatter-add performed by XLA autodiff through the gather in rasterize.py.
 
-Per-duplicate features are 16 floats (lane-padded):
-  [0:6]  quadratic form coefficients over LOCAL pixel coords (px, py):
-         power = c0*px^2 + c1*py^2 + c2*px*py + c3*px + c4*py + c5
+Per-duplicate features are 9 RAW floats (the quadratic-form expansion to
+local pixel coordinates happens IN-KERNEL — round-1 did it in XLA, where
+the 16-row stack became eleven lane-padded refetch fusions):
+  [0:2]  global pixel-space mean (x, y)
+  [2:5]  conic (a, b, c)
+  [5]    opacity
   [6:9]  rgb
-  [9]    opacity
-  [10:]  zero padding
-The feature array is stored transposed, [16, K], so chunk blocks are
-(16, CHUNK) = full 128-lane tiles.
+The feature array is stored transposed, [9, K], dense along K; the tile
+origin (for fp32-exact local coordinates at any image size) comes from the
+chunk's tile id and the static grid width.
 
 Compositing semantics match raster/naive.py (alpha clamped to 0.99, skipped
 below 1/255 or when power > 0, pixel stops accepting contributions once its
@@ -53,87 +55,97 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
-NUM_FEAT = 16  # padded feature rows
+NUM_FEAT = 9  # raw feature rows (x, y, a, b, c, opa, rgb)
 
 
 def _basis(n_pix: int, tile_x: int):
-    """Local-pixel-coordinate basis columns, each [N_PIX, 1] f32."""
+    """Local-pixel-coordinate basis matrix [N_PIX, 6] f32:
+    columns (px^2, py^2, px*py, px, py, 1) — the quadratic-form monomials.
+    Shaped as a matrix so power and its coefficient gradients are MXU
+    matmuls instead of VPU broadcast chains."""
     idx = lax.broadcasted_iota(jnp.int32, (n_pix, 1), 0)
     px = (idx % tile_x).astype(jnp.float32)
     py = (idx // tile_x).astype(jnp.float32)
-    return px * px, py * py, px * py, px, py
+    return jnp.concatenate(
+        [px * px, py * py, px * py, px, py, jnp.ones_like(px)], axis=1)
+
+
+def _tri(chunk: int, inclusive: bool):
+    """[CHUNK, CHUNK] f32 triangular ones: prefix sums along the chunk axis
+    become ONE MXU matmul instead of a log2(CHUNK)-step roll/select doubling
+    scan on the VPU (the scans were the kernel's biggest op count)."""
+    r = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c = lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return ((r <= c) if inclusive else (r < c)).astype(jnp.float32)
 
 
 def _scan_rows(x, exclusive: bool):
-    """Prefix sum along axis=1 (the chunk axis) via log-shift doubling."""
-    n = x.shape[1]
-    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    acc = x
-    shift = 1
-    while shift < n:
-        rolled = jnp.roll(acc, shift, axis=1)
-        acc = acc + jnp.where(col >= shift, rolled, 0.0)
-        shift *= 2
-    return acc - x if exclusive else acc
+    """Prefix sum along axis=1 (the chunk axis) via MXU triangular matmul."""
+    return lax.dot_general(x, _tri(x.shape[1], not exclusive),
+                           (((1,), (0,)), ((), ())),
+                           precision=lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
 
 
-def _scan_prod_rows(x):
-    """Inclusive prefix PRODUCT along axis=1 via log-shift doubling."""
-    n = x.shape[1]
-    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    acc = x
-    shift = 1
-    while shift < n:
-        rolled = jnp.roll(acc, shift, axis=1)
-        acc = acc * jnp.where(col >= shift, rolled, 1.0)
-        shift *= 2
-    return acc
-
-
-def _exclusive(incl, x, identity):
-    """Inclusive -> exclusive scan result (shift right by one column)."""
-    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    rolled = jnp.roll(incl, 1, axis=1)
-    return jnp.where(col >= 1, rolled, identity)
-
-
-def _alphas(feat, basis, t_in):
+def _alphas(feat, basis, t_in, ox, oy):
     """Shared forward math: per-(pixel, gaussian) alpha/transmittance.
 
-    feat: (NUM_FEAT, CHUNK); basis: tuple of (N,1); t_in: (N,1) carried
-    transmittance (the reference's per-pixel T, forward.cu:301).
-    Returns dict of (N, CHUNK) arrays + updated carry (N,1).
+    feat: (NUM_FEAT, CHUNK) raw rows; basis: (N, 6) monomial matrix;
+    t_in: (N, 1) carried transmittance (the reference's per-pixel T,
+    forward.cu:301); ox/oy: scalar tile origin. Returns dict of (N, CHUNK)
+    arrays + updated carry (N,1).
 
-    Transmittance is a direct prefix product of (1-alpha) — one doubling
-    scan, no log/exp round trip.
+    The quadratic form is expanded over LOCAL pixel coordinates in-kernel
+    (cheap (1, CHUNK) vector ops), then power is ONE MXU matmul
+    (basis @ coefficient rows). Transmittance is exp of an EXCLUSIVE prefix
+    sum of log1p(-alpha) — the prefix sum is one MXU triangular matmul, so
+    the whole per-(pixel, gaussian) VPU budget is a handful of elementwise
+    ops. The carry (the oracle's frozen-at-saturation T) is the LAST
+    still-gated inclusive product, recovered with a masked min (T is
+    monotone non-increasing along the chunk).
     """
-    px2, py2, pxpy, px, py = basis
-    c = [feat[i : i + 1, :] for i in range(6)]  # each (1, CHUNK)
-    power = (px2 * c[0] + py2 * c[1] + pxpy * c[2] + px * c[3] + py * c[4]) + c[5]
-    opa = feat[9:10, :]  # (1, CHUNK)
+    x = feat[0:1, :] - ox
+    y = feat[1:2, :] - oy
+    a = feat[2:3, :]
+    b = feat[3:4, :]
+    c = feat[4:5, :]
+    coef = jnp.concatenate([
+        -0.5 * a, -0.5 * c, -b,
+        a * x + b * y, c * y + b * x,
+        -0.5 * (a * x * x + c * y * y) - b * x * y], axis=0)  # (6, CHUNK)
+    power = lax.dot_general(basis, coef, (((1,), (0,)), ((), ())),
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # (N, CHUNK)
+    opa = feat[5:6, :]  # (1, CHUNK)
     g_exp = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, opa * g_exp)
     alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
-    one_minus = 1.0 - alpha
-    prod_incl = _scan_prod_rows(one_minus)
-    t_g = t_in * _exclusive(prod_incl, one_minus, 1.0)
+    log1m = jnp.log1p(-alpha)  # exact 0 at alpha == 0
+    t_g = t_in * jnp.exp(_scan_rows(log1m, exclusive=True))
     gate = (t_g > T_EPS).astype(jnp.float32)
     w = alpha * t_g * gate
-    # carry: product over gated rows only (matches the oracle's frozen T).
-    # Mosaic has no reduce_prod; use the last column of a gated product scan.
-    gated_prod = _scan_prod_rows(jnp.where(gate > 0, one_minus, 1.0))
-    t_new = t_in * gated_prod[:, -1:]
+    t_after = t_g * (1.0 - alpha)  # inclusive product, no second scan
+    t_new = jnp.where(
+        gate[:, :1] > 0,
+        jnp.min(jnp.where(gate > 0, t_after, jnp.inf), axis=1,
+                keepdims=True),
+        t_in)
     rgb = feat[6:9, :]
     return dict(power=power, g_exp=g_exp, alpha=alpha, t_g=t_g, gate=gate,
-                w=w, rgb=rgb, opa=opa, t_new=t_new)
+                w=w, rgb=rgb, opa=opa, t_new=t_new,
+                x=x, y=y, a=a, b=b, c=c)
 
 
 def _fwd_kernel(chunk_tile, chunk_first, feat_ref, c_init_ref, t_init_ref,
                 c_ref, t_ref, tcar_ref,
-                *, n_pix: int, tile_x: int, num_tiles: int):
+                *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
+                num_tiles: int):
     del c_init_ref, t_init_ref  # alias-initialized outputs; never read here
     k = pl.program_id(0)
-    is_real = chunk_tile[k] < num_tiles  # trailing sentinel chunks: no-op
+    tile = chunk_tile[k]
+    ox = ((tile % grid_x) * tile_x).astype(jnp.float32)
+    oy = ((tile // grid_x) * tile_y).astype(jnp.float32)
+    is_real = tile < num_tiles  # trailing sentinel chunks: no-op
 
     @pl.when(is_real & (chunk_first[k] != 0))
     def _():
@@ -146,7 +158,7 @@ def _fwd_kernel(chunk_tile, chunk_first, feat_ref, c_init_ref, t_init_ref,
     @pl.when(is_real & (jnp.max(tcar_ref[...]) > T_EPS))
     def _():
         basis = _basis(n_pix, tile_x)
-        v = _alphas(feat_ref[...], basis, tcar_ref[...])
+        v = _alphas(feat_ref[...], basis, tcar_ref[...], ox, oy)
         # C[p, ch] += sum_g w[p, g] * rgb[ch, g]  — MXU matmul.
         contrib = lax.dot_general(v["w"], v["rgb"], (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # (N,3)
@@ -157,9 +169,13 @@ def _fwd_kernel(chunk_tile, chunk_first, feat_ref, c_init_ref, t_init_ref,
 
 def _bwd_kernel(chunk_tile, chunk_first, feat_ref, cres_ref, tres_ref,
                 dc_ref, dt_ref, dfeat_ref, tcar_ref, accum_ref,
-                *, n_pix: int, tile_x: int, num_tiles: int):
+                *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
+                num_tiles: int):
     k = pl.program_id(0)
-    is_real = chunk_tile[k] < num_tiles
+    tile = chunk_tile[k]
+    ox = ((tile % grid_x) * tile_x).astype(jnp.float32)
+    oy = ((tile // grid_x) * tile_y).astype(jnp.float32)
+    is_real = tile < num_tiles
 
     @pl.when(is_real & (chunk_first[k] != 0))
     def _():
@@ -172,7 +188,7 @@ def _bwd_kernel(chunk_tile, chunk_first, feat_ref, cres_ref, tres_ref,
     def _():
         basis = _basis(n_pix, tile_x)
         feat = feat_ref[...]
-        v = _alphas(feat, basis, tcar_ref[...])
+        v = _alphas(feat, basis, tcar_ref[...], ox, oy)
         dc = dc_ref[0]   # (N, 3)
         dt = dt_ref[0]   # (N, 1)
         cres = cres_ref[0]  # (N, 3)
@@ -192,16 +208,26 @@ def _bwd_kernel(chunk_tile, chunk_first, feat_ref, cres_ref, tres_ref,
         # 0.99-clamp pass-through (backward.cu:477-481): opa*exp(power).
         dpower = dalpha * v["opa"] * v["g_exp"]
 
-        px2, py2, pxpy, px, py = basis
-        ones = jnp.ones_like(px)
-        dcoeff = [jnp.sum(dpower * b, axis=0, keepdims=True)
-                  for b in (px2, py2, pxpy, px, py, ones)]  # each (1, CHUNK)
+        # dcoeff[i, g] = sum_p basis[p, i] * dpower[p, g] — one MXU matmul
+        # (replaces six multiply+reduce sweeps over the (N, CHUNK) block),
+        # then the chain rule back to the RAW rows on (1, CHUNK) vectors.
+        dcoeff = lax.dot_general(basis, dpower, (((0,), (0,)), ((), ())),
+                                 precision=lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+        d0, d1, d2, d3, d4, d5 = (dcoeff[i:i + 1, :] for i in range(6))
+        x, y = v["x"], v["y"]
+        a, b, c = v["a"], v["b"], v["c"]
+        da = -0.5 * d0 + x * d3 - 0.5 * (x * x) * d5
+        db = -d2 + y * d3 + x * d4 - (x * y) * d5
+        dc_ = -0.5 * d1 + y * d4 - 0.5 * (y * y) * d5
+        dx = a * d3 + b * d4 - (a * x + b * y) * d5
+        dy = b * d3 + c * d4 - (c * y + b * x) * d5
         # drgb[ch, g] = sum_p dC[p, ch] * w[p, g]
         drgb = lax.dot_general(dc, v["w"], (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
         dopa = jnp.sum(v["g_exp"] * dalpha * live, axis=0, keepdims=True)
-        zeros = jnp.zeros((NUM_FEAT - 10, feat.shape[1]), jnp.float32)
-        dfeat_ref[...] = jnp.concatenate(dcoeff + [drgb, dopa, zeros], axis=0)
+        dfeat_ref[...] = jnp.concatenate(
+            [dx, dy, da, db, dc_, dopa, drgb], axis=0)
 
         tcar_ref[...] = v["t_new"]
         accum_ref[...] = cum_in[:, -1:]
@@ -223,7 +249,8 @@ def _common_specs(num_chunks: int, chunk: int, n_pix: int, num_tiles: int):
 
 
 def _forward(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
-             tile_x: int, chunk: int, interpret: bool):
+             tile_x: int, tile_y: int, grid_x: int, chunk: int,
+             interpret: bool):
     num_chunks = feat.shape[1] // chunk
     feat_spec, img_spec, t_spec = _common_specs(num_chunks, chunk, n_pix,
                                                 num_tiles)
@@ -244,6 +271,7 @@ def _forward(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
         jax.ShapeDtypeStruct((num_tiles, n_pix, 1), jnp.float32),
     ]
     kernel = functools.partial(_fwd_kernel, n_pix=n_pix, tile_x=tile_x,
+                               tile_y=tile_y, grid_x=grid_x,
                                num_tiles=num_tiles)
     c_img, t_img = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
@@ -253,8 +281,8 @@ def _forward(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
 
 
 def _backward(feat, chunk_tile, chunk_first, c_img, t_img, dc, dt,
-              num_tiles: int, n_pix: int, tile_x: int, chunk: int,
-              interpret: bool):
+              num_tiles: int, n_pix: int, tile_x: int, tile_y: int,
+              grid_x: int, chunk: int, interpret: bool):
     num_chunks = feat.shape[1] // chunk
     feat_spec, img_spec, t_spec = _common_specs(num_chunks, chunk, n_pix,
                                                 num_tiles)
@@ -269,6 +297,7 @@ def _backward(feat, chunk_tile, chunk_first, c_img, t_img, dc, dt,
                         pltpu.VMEM((n_pix, 1), jnp.float32)],
     )
     kernel = functools.partial(_bwd_kernel, n_pix=n_pix, tile_x=tile_x,
+                               tile_y=tile_y, grid_x=grid_x,
                                num_tiles=num_tiles)
     (dfeat,) = pl.pallas_call(
         kernel, grid_spec=grid_spec,
@@ -278,9 +307,10 @@ def _backward(feat, chunk_tile, chunk_first, c_img, t_img, dc, dt,
     return dfeat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def tile_blend(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
-               tile_x: int, chunk: int, interpret: bool = False):
+               tile_x: int, tile_y: int, grid_x: int, chunk: int,
+               interpret: bool = False):
     """Composite padded duplicate lists into per-tile pixel blocks.
 
     Args:
@@ -295,21 +325,23 @@ def tile_blend(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
        transmittance [num_tiles, n_pix, 1]).
     """
     return _forward(feat, chunk_tile, chunk_first, num_tiles, n_pix, tile_x,
-                    chunk, interpret)
+                    tile_y, grid_x, chunk, interpret)
 
 
 def _tile_blend_fwd(feat, chunk_tile, chunk_first, num_tiles, n_pix, tile_x,
-                    chunk, interpret):
+                    tile_y, grid_x, chunk, interpret):
     c_img, t_img = _forward(feat, chunk_tile, chunk_first, num_tiles, n_pix,
-                            tile_x, chunk, interpret)
+                            tile_x, tile_y, grid_x, chunk, interpret)
     return (c_img, t_img), (feat, chunk_tile, chunk_first, c_img, t_img)
 
 
-def _tile_blend_bwd(num_tiles, n_pix, tile_x, chunk, interpret, res, grads):
+def _tile_blend_bwd(num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
+                    interpret, res, grads):
     feat, chunk_tile, chunk_first, c_img, t_img = res
     dc, dt = grads
     dfeat = _backward(feat, chunk_tile, chunk_first, c_img, t_img, dc, dt,
-                      num_tiles, n_pix, tile_x, chunk, interpret)
+                      num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
+                      interpret)
     zero_i = np.zeros(chunk_tile.shape, dtype=jax.dtypes.float0)
     return (dfeat, zero_i, zero_i)
 
