@@ -1,14 +1,24 @@
-"""Benchmark: MCMC training throughput on a synthetic scene, single chip.
+"""Benchmark: MCMC training throughput + 1080p render throughput, one chip.
 
 Prints ONE JSON line:
   {"metric": "train_iters_per_sec", "value": N, "unit": "it/s",
-   "vs_baseline": N, ...}
+   "vs_baseline": N, "config": {..., "render_fps_1080p": N, ...}}
 
 Workload approximates BASELINE gate config #2 (NeRF-Synthetic-Lego-scale
 static MCMC training): 100k alive Gaussians at 800x800, full train step
 (render fwd + bwd + Adam + noise injection) per iteration. No dataset is
 required (zero-egress environment): ground truth images are renders of a
-procedurally generated Gaussian scene.
+procedurally generated Gaussian scene. The render stage measures the
+inference path (bf16 stream, in-kernel bg) at 1920x1088 on a 100k-Gaussian
+procedural scene (~4M rect duplicates — a heavy, adversarial load).
+
+Trustworthiness (VERDICT r1 weak #1 — a driver capture was once 76x off):
+- three timed windows, median reported;
+- the loss is fetched to host per window and must be finite AND change
+  across windows (a broken block_until_ready or constant-folded step fails);
+- every iteration's num_dup is fetched after timing and asserted <= k_dup
+  (no silent tile-list truncation in the timed region);
+- the rendered image is fetched and must be finite with non-trivial content.
 
 ``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
 the anchor is the A100 figure implied by the north-star target
@@ -17,12 +27,24 @@ the anchor is the A100 figure implied by the north-star target
 """
 
 import json
+import statistics
 import sys
 import time
 
 import numpy as np
 
 A100_BASELINE_ITERS_PER_SEC = 30.0
+
+
+def log(msg):
+    print(f"stage: {msg}", file=sys.stderr, flush=True)
+
+
+def probe_k_dup(probe_fn, state_or_params, chunk, floor=1 << 15):
+    """Right-size the duplicate budget: measure actual demand once and
+    rebuild with 30% headroom (chunk-aligned) — no silent truncation."""
+    need = max(int(probe_fn(state_or_params)) * 13 // 10, floor)
+    return -(-need // chunk) * chunk
 
 
 def main():
@@ -34,12 +56,12 @@ def main():
     from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
     from gsplat_tpu.train import step as step_lib
     from gsplat_tpu.train.config import OptimizationConfig
-    from __graft_entry__ import _orbit_cameras
+    from __graft_entry__ import _make_scene, _orbit_cameras
 
     on_cpu = jax.default_backend() == "cpu"
     # CPU fallback keeps the bench runnable anywhere but tiny.
-    p_gt, p_model, w, h, iters = ((500, 1000, 128, 128, 5) if on_cpu
-                                  else (20_000, 100_000, 800, 800, 50))
+    p_gt, p_model, w, h, wit = ((500, 1000, 128, 128, 2) if on_cpu
+                                else (20_000, 100_000, 800, 800, 20))
     import os
     tx = int(os.environ.get("BENCH_TILE_X", 32))
     ty = int(os.environ.get("BENCH_TILE_Y", 16))
@@ -63,54 +85,103 @@ def main():
     render_gt = jax.jit(lambda c: rasterize(*gt_scene, c, sh, bg,
                                             settings).image)
     gts = [render_gt(c) for c in cams]
-    jax.block_until_ready(gts[-1]); print("stage: gt rendered", file=sys.stderr)
+    jax.block_until_ready(gts[-1])
+    log("gt rendered")
 
     pts = rng.uniform(-1, 1, (p_model, 3)).astype(np.float32)
     state = gaussians.create_from_points(
         pts, rng.uniform(0, 1, (p_model, 3)).astype(np.float32),
         capacity=p_model, max_sh_degree=sh)
-    # right-size the duplicate budget: measure actual duplicates once and
-    # rebuild with 30% headroom (chunk-aligned) — no silent truncation
     probe_fn = jax.jit(lambda st: rasterize(
         st.xyz, st.get_scaling(), st.get_rotation(), st.get_opacity()[:, 0],
         st.get_features(), cams[0], sh, bg, settings,
         alive=st.alive_mask).num_dup)
-    k_need = max(int(probe_fn(state)) * 13 // 10, 1 << 15)
-    settings = RasterizeSettings(
-        k_dup=-(-k_need // settings.chunk) * settings.chunk,
-        tile_x=settings.tile_x, tile_y=settings.tile_y,
-        chunk=settings.chunk, interpret=on_cpu)
-    print(f"stage: dup budget {settings.k_dup}", file=sys.stderr)
+    import dataclasses
+    settings = dataclasses.replace(
+        settings, k_dup=probe_k_dup(probe_fn, state, settings.chunk))
+    log(f"dup budget {settings.k_dup}")
     adam = optim.init(state.params())
     opt = OptimizationConfig()
     train_step = step_lib.make_train_step(opt, settings, spatial_lr_scale=4.0)
-    keys = jax.random.split(jax.random.PRNGKey(0), iters + 10)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3 * wit + 10)
 
     # warmup / compile
-    print("stage: model init done, compiling train step", file=sys.stderr)
+    log("model init done, compiling train step")
     state, adam, m = train_step(state, adam, keys[0], cams[0], gts[0], bg,
                                 jnp.asarray(1.0), sh)
     jax.block_until_ready(m.loss)
-    print("stage: warm", file=sys.stderr)
+    log("warm")
 
-    t0 = time.time()
-    for i in range(iters):
-        state, adam, m = train_step(state, adam, keys[i + 1],
-                                    cams[i % len(cams)], gts[i % len(cams)],
-                                    bg, jnp.asarray(float(i + 2)), sh)
-    jax.block_until_ready(m.loss)
-    dt = time.time() - t0
-    its = iters / dt
+    win_rates, win_losses, dup_counts = [], [], []
+    it = 0
+    for window in range(3):
+        t0 = time.time()
+        for _ in range(wit):
+            state, adam, m = train_step(
+                state, adam, keys[it + 1], cams[it % len(cams)],
+                gts[it % len(cams)], bg, jnp.asarray(float(it + 2)), sh)
+            dup_counts.append(m.num_dup)
+            it += 1
+        jax.block_until_ready(m.loss)
+        dt = time.time() - t0
+        win_rates.append(wit / dt)
+        win_losses.append(float(m.loss))
+        log(f"window {window}: {wit / dt:.2f} it/s loss={win_losses[-1]:.5f}")
+
+    # --- sanity gates: a broken timing path cannot pass these ---
+    assert all(np.isfinite(l) for l in win_losses), win_losses
+    assert len(set(win_losses)) == len(win_losses), (
+        f"loss did not change across windows: {win_losses}")
+    dups = [int(x) for x in jax.device_get(dup_counts)]
+    assert max(dups) <= settings.k_dup, (
+        f"duplicate budget overflowed during timing: {max(dups)} > "
+        f"{settings.k_dup}")
+    its = statistics.median(win_rates)
+
+    # --- render stage: inference path, 1920x1088 ---
+    rw, rh = (256, 128) if on_cpu else (1920, 1088)
+    rscene = _make_scene(p_model if not on_cpu else 1000, sh, seed=0)
+    rcam = _orbit_cameras(1, rw, rh)[0]
+    rsettings = dataclasses.replace(settings, k_dup=8 * p_model,
+                                    inference=True)
+    rprobe = jax.jit(lambda ps: rasterize(*ps, rcam, sh, bg,
+                                          rsettings).num_dup)
+    rsettings = dataclasses.replace(
+        rsettings, k_dup=probe_k_dup(rprobe, rscene, rsettings.chunk))
+    log(f"render dup budget {rsettings.k_dup}")
+    render = jax.jit(lambda ps: rasterize(*ps, rcam, sh, bg,
+                                          rsettings).image)
+    img = render(rscene)
+    jax.block_until_ready(img)
+    nframes = 2 if on_cpu else 20
+    fps_windows = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(nframes):
+            img = render(rscene)
+        jax.block_until_ready(img)
+        fps_windows.append(nframes / (time.time() - t0))
+    img_host = np.asarray(img)
+    assert np.isfinite(img_host).all() and img_host.max() > 0.05, (
+        "render produced a degenerate image")
+    fps = statistics.median(fps_windows)
+    log(f"render {rw}x{rh}: {fps:.1f} FPS")
 
     print(json.dumps({
         "metric": "train_iters_per_sec",
         "value": round(its, 2),
         "unit": "it/s",
         "vs_baseline": round(its / A100_BASELINE_ITERS_PER_SEC, 3),
-        "config": {"gaussians": p_model, "image": f"{w}x{h}", "tile": f"{settings.tile_x}x{settings.tile_y}",
+        "config": {"gaussians": p_model, "image": f"{w}x{h}",
+                   "tile": f"{settings.tile_x}x{settings.tile_y}",
                    "backend": jax.default_backend(),
                    "k_dup": settings.k_dup,
-                   "ms_per_iter": round(dt / iters * 1000, 2)},
+                   "ms_per_iter": round(1000.0 / its, 2),
+                   "windows_it_per_s": [round(r, 2) for r in win_rates],
+                   "render_fps_1080p": round(fps, 1),
+                   "render_image": f"{rw}x{rh}",
+                   "render_num_dup": int(rprobe(rscene)),
+                   "render_ms": round(1000.0 / fps, 2)},
     }))
 
 

@@ -95,6 +95,10 @@ def project_cov2d(mean3d, cov3d_6, view, focal_x, focal_y, tan_fovx, tan_fovy):
            + w[1, 2] * mean3d[..., 2] + view[1, 3])
     tz = (w[2, 0] * mean3d[..., 0] + w[2, 1] * mean3d[..., 1]
           + w[2, 2] * mean3d[..., 2] + view[2, 3])
+    # z==0 only happens for culled/padding rows (visible needs z > 0.2),
+    # but its 0/0 and 1/0 partials would poison reverse-mode AD even under
+    # a zero cotangent — keep them finite.
+    tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     tx = jnp.clip(tx_ / tz, -limx, limx) * tz

@@ -118,7 +118,12 @@ def sh_to_rgb(deg: int, sh, means, campos):
     Returns rgb [..., 3] clamped to >= 0.
     """
     d = means - campos
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # eps inside the sqrt: a padding row sitting exactly at the camera
+    # position would otherwise produce 0/0 (and linalg.norm's OWN gradient
+    # at zero is NaN) — NaN partials poison reverse-mode AD even under a
+    # zero cotangent.
+    n2 = jnp.sum(d * d, axis=-1, keepdims=True)
+    d = d / jnp.sqrt(jnp.maximum(n2, 1e-24))
     # eval_sh wants [..., C, K]
     rgb = eval_sh(deg, jnp.swapaxes(sh, -1, -2), d) + 0.5
     return jnp.maximum(rgb, 0.0)

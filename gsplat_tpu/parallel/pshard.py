@@ -119,3 +119,147 @@ def make_pshard_render(mesh: Mesh, settings: RasterizeSettings,
         in_specs=(shd, shd, shd, shd, shd, shd, rep, rep),
         out_specs=rep, check_vma=False)
     return jax.jit(fn)
+
+
+class PShardMetrics(NamedTuple):
+    loss: jnp.ndarray
+    l1: jnp.ndarray
+    num_dup: jnp.ndarray
+    psnr: jnp.ndarray
+
+
+def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
+                           spatial_lr_scale: float, sh_degree: int,
+                           axis: str = "ps"):
+    """P-sharded (Gaussian-dimension, the tensor-parallel analogue) train
+    step: render + loss + Adam + noise, completing SURVEY.md §2c.
+
+    ``params`` (the GaussianState param dict), ``alive`` and ``adam`` are
+    sharded on their leading (Gaussian) axis over ``axis``; camera, gt, bg,
+    iteration and ``n_alive_total`` are replicated. Each device rasterizes
+    its depth slab of the ALL-GATHERED parameters; the per-shard gradients
+    arrive via the AD transpose of the gather (a psum-scatter over ICI —
+    the distributed replacement for the reference's device-wide radix sort
+    + atomicAdd, rasterizer_impl.cu:304-309 / backward.cu:523-554). Adam
+    state never leaves the shard. MCMC densification runs OUTSIDE this step
+    on gathered state (it is a once-per-100-iters host-paced op).
+    """
+    from gsplat_tpu.core.covariance import covariance_6
+    from gsplat_tpu.core.quaternion import normalize
+    from gsplat_tpu.core.schedule import expon_lr
+    from gsplat_tpu.model import optim
+    from gsplat_tpu.train import losses
+
+    n_dev = mesh.shape[axis]
+
+    def per_device(params, alive, adam, key, camera: CameraParams, gt, bg,
+                   iteration, n_alive_total):
+        d = lax.axis_index(axis)
+
+        def gather(x):
+            g = lax.all_gather(x, axis)
+            return g.reshape((-1,) + g.shape[2:])
+
+        def loss_fn(p):
+            means = p["xyz"]
+            scales = jnp.exp(p["scaling"])
+            quats = normalize(p["rotation"])
+            opa = jax.nn.sigmoid(p["opacity"])[:, 0]
+            shs = jnp.concatenate([p["f_dc"], p["f_rest"]], axis=1)
+            means_f, scales_f, quats_f, opa_f, shs_f = map(
+                gather, (means, scales, quats, opa, shs))
+            alive_f = gather(alive)
+
+            view = camera.view
+            depth_f = (means_f[:, 0] * view[2, 0] + means_f[:, 1] * view[2, 1]
+                       + means_f[:, 2] * view[2, 2]) + view[2, 3]
+            bounds = _slab_bounds(depth_f, alive_f & (depth_f > ZNEAR_CULL),
+                                  n_dev, axis)
+            logd = jnp.log(jnp.clip(depth_f, ZNEAR_CULL, _ZFAR))
+            my_mask = (logd >= bounds[d]) & (logd < bounds[d + 1])
+
+            out = rasterize(means_f, scales_f, quats_f, opa_f, shs_f, camera,
+                            sh_degree, jnp.zeros(3), settings,
+                            alive=alive_f & my_mask)
+            cs = lax.all_gather(out.image, axis)
+            ts = lax.all_gather(out.final_t[..., None], axis)
+
+            def fold(carry, xt):
+                c_acc, t_acc = carry
+                c_d, t_d = xt
+                return (c_acc + t_acc * c_d, t_acc * t_d), None
+
+            (c_fin, t_fin), _ = lax.scan(
+                fold, (jnp.zeros_like(out.image),
+                       jnp.ones_like(out.final_t[..., None])), (cs, ts))
+            img = c_fin + t_fin * bg
+
+            ll1 = losses.l1_loss(img, gt)
+            lssim = losses.ssim(img, gt)
+            loss = (1 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1 - lssim)
+            # regularizers: per-shard masked sums, psum'd to the global mean
+            af = alive.astype(jnp.float32)
+            opa_sum = lax.psum(jnp.sum(jnp.abs(jax.nn.sigmoid(p["opacity"]))
+                                       * af[:, None]), axis)
+            scl_sum = lax.psum(jnp.sum(
+                jnp.mean(jnp.abs(jnp.exp(p["scaling"])), axis=1) * af), axis)
+            denom = jnp.maximum(n_alive_total.astype(jnp.float32), 1.0)
+            loss = loss + opt.opacity_reg * opa_sum / denom
+            loss = loss + opt.scale_reg * scl_sum / denom
+            # Dividing by n_dev makes the SUM of the per-device replicas
+            # equal the true loss, so the psum-scatter transpose of the
+            # all-gathers delivers exactly dL/d(shard) — no overcount.
+            return loss / n_dev, (loss, img, ll1, out.num_dup)
+
+        (_, (loss, img, ll1, num_dup)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+
+        xyz_lr = expon_lr(iteration,
+                          opt.position_lr_init * spatial_lr_scale,
+                          opt.position_lr_final * spatial_lr_scale,
+                          lr_delay_mult=opt.position_lr_delay_mult,
+                          max_steps=opt.position_lr_max_steps)
+        lrs = {"xyz": xyz_lr, "f_dc": opt.feature_lr,
+               "f_rest": opt.feature_lr / 20.0, "opacity": opt.opacity_lr,
+               "scaling": opt.scaling_lr, "rotation": opt.rotation_lr}
+        new_params, new_adam = optim.step(params, grads, adam, lrs)
+
+        # covariance-shaped noise on the local shard (train_static.py:132-140)
+        opa_act = jax.nn.sigmoid(new_params["opacity"])
+        gate = jax.nn.sigmoid(100.0 * ((1.0 - opa_act) - 0.995))
+        nkey = jax.random.fold_in(key, d)
+        noise = (jax.random.normal(nkey, new_params["xyz"].shape)
+                 * gate * opt.noise_lr * xyz_lr)
+        cov6 = covariance_6(jnp.exp(new_params["scaling"]),
+                            normalize(new_params["rotation"]))
+        xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
+        nx, ny, nz = noise[:, 0], noise[:, 1], noise[:, 2]
+        noise = jnp.stack([xx * nx + xy * ny + xz * nz,
+                           xy * nx + yy * ny + yz * nz,
+                           xz * nx + yz * ny + zz * nz], axis=-1)
+        noise = jnp.where(alive[:, None], noise, 0.0)
+        new_params = dict(new_params, xyz=new_params["xyz"] + noise)
+
+        psnr = losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt, 0, 1))
+        return new_params, new_adam, PShardMetrics(
+            loss=loss, l1=ll1, num_dup=lax.pmax(num_dup, axis), psnr=psnr)
+
+    rep = P()
+    shd = P(axis)
+    from gsplat_tpu.model.optim import AdamState
+    adam_spec = AdamState(mu=shd, nu=shd, count=rep)  # count is a scalar
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(shd, shd, adam_spec, rep, rep, rep, rep, rep, rep),
+        out_specs=(shd, adam_spec, PShardMetrics(loss=rep, l1=rep,
+                                                 num_dup=rep, psnr=rep)),
+        check_vma=False)
+
+    @functools.partial(jax.jit, donate_argnames=("params", "adam"))
+    def stepfn(params, alive, adam, key, camera, gt, bg, iteration,
+               n_alive_total):
+        return sharded(params, alive, adam, key, camera, gt, bg,
+                       jnp.asarray(iteration, jnp.float32),
+                       jnp.asarray(n_alive_total, jnp.int32))
+
+    return stepfn

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from gsplat_tpu.raster.project import Preprocessed, tile_rect
+from gsplat_tpu.raster.scan_kernel import multi_cummax
 
 
 class Binning(NamedTuple):
@@ -87,7 +88,7 @@ def _tile_histogram(min_x, min_y, max_x, max_y, active, grid_x, grid_y):
 
 def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
                   grid_x: int, grid_y: int, k_dup: int,
-                  chunk: int = 128) -> Binning:
+                  chunk: int = 128, interpret: bool = False) -> Binning:
     """Expand visible Gaussians into depth-sorted, chunk-padded per-tile
     duplicate lists."""
     p = proc.xy.shape[0]
@@ -153,9 +154,16 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     w_g = jnp.maximum(max_x - min_x, 1)[order]
     w_pack = (g_ids << xb) | w_g
 
-    base_of_d = _owner_scan(starts, offsets[:p], k_dup, jnp.int32(0))
-    rect_d = _owner_scan(starts, rect_pack, k_dup, jnp.int32(0))
-    w_d = _owner_scan(starts, w_pack, k_dup, jnp.int32(1)) & ((1 << xb) - 1)
+    def marks(values, fill):
+        return jnp.full((k_dup,), fill, jnp.int32).at[starts].max(
+            values, mode="drop")
+
+    # fill 0 (NOT a large sentinel: the fill must lose the max-scatter);
+    # slots before the first range then get next_start 0 => not in budget.
+    base_of_d, rect_d, w_scan, next_start = multi_cummax(
+        [marks(offsets[:p], 0), marks(rect_pack, 0), marks(w_pack, 1),
+         marks(offsets[1:p + 1], 0)], interpret=interpret)
+    w_d = w_scan & ((1 << xb) - 1)
     d = jnp.arange(k_dup, dtype=jnp.int32)
     r = d - base_of_d
 
@@ -174,9 +182,6 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # training loops regrow the budget). No per-duplicate contribution cull:
     # the kernel's own 1/255 alpha floor drops sub-threshold contributions
     # per pixel (forward.cu:345-346 semantics), image-identically.
-    # fill 0 (NOT a large sentinel: the fill must lose the max-scatter);
-    # slots before the first range then get next_start 0 => not in budget.
-    next_start = _owner_scan(starts, offsets[1:p + 1], k_dup, jnp.int32(0))
     in_budget = (d < next_start) & (next_start <= k_dup)
     dup_key = jnp.where(in_budget, tile_id, num_tiles).astype(jnp.int32)
     dup_rank = jnp.where(in_budget, g_of_d, p)

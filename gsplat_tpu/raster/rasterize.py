@@ -46,6 +46,9 @@ class RasterizeSettings:
     tile_y: int = 16
     chunk: int = 128
     interpret: bool = False
+    # Inference mode: bf16 feature stream, background composited in-kernel,
+    # no transmittance residual (final_t returns zeros), NOT differentiable.
+    inference: bool = False
 
 
 class RasterizeOutput(NamedTuple):
@@ -56,7 +59,7 @@ class RasterizeOutput(NamedTuple):
     final_t: jnp.ndarray   # [H, W] final transmittance
 
 
-def _slot_features(proc, gid, order):
+def _slot_features(proc, gid, order, dtype=jnp.float32):
     """[9, K_slots] RAW kernel feature rows (x, y, a, b, c, opa, rgb).
 
     ``gid`` indexes DEPTH-RANK space (binning pre-sorts by depth), so the
@@ -77,7 +80,9 @@ def _slot_features(proc, gid, order):
         proc.opacity, proc.rgb[:, 0], proc.rgb[:, 1], proc.rgb[:, 2],
     ], axis=1)[order]  # [P, 9] in depth order (differentiable)
 
-    valid = (gid < p).astype(jnp.float32)
+    # casting BEFORE the big gather halves its HBM traffic (bf16 inference)
+    table = table.astype(dtype)
+    valid = (gid < p).astype(dtype)
     rows = table[jnp.minimum(gid, p - 1)] * valid[:, None]  # [K_slots, 9]
     return rows.T  # [9, K_slots] dense
 
@@ -104,20 +109,37 @@ def rasterize(
     proc_ng = jax.tree.map(lax.stop_gradient, proc)
     binn = binning_lib.bin_gaussians(
         proc_ng, tile_x=s.tile_x, tile_y=s.tile_y,
-        grid_x=grid_x, grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk)
+        grid_x=grid_x, grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk,
+        interpret=s.interpret)
 
-    feat = _slot_features(proc, binn.gid, binn.order)
+    feat = _slot_features(
+        proc, binn.gid, binn.order,
+        dtype=jnp.bfloat16 if s.inference else jnp.float32)
 
-    c_img, t_img = tile_kernel.tile_blend(
-        feat, binn.chunk_tile, binn.chunk_first, num_tiles, n_pix,
-        s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret)
-
-    # Assemble tile-major buffers into the image and composite background.
+    # Assemble tile-major buffers into the image.
     def assemble(img_t, ch):
         img = img_t.reshape(grid_y, grid_x, s.tile_y, s.tile_x, ch)
         img = img.transpose(0, 2, 1, 3, 4)
         img = img.reshape(grid_y * s.tile_y, grid_x * s.tile_x, ch)
         return img[: camera.height, : camera.width]
+
+    if s.inference:
+        chunk_last = jnp.concatenate([
+            (binn.chunk_tile[1:] != binn.chunk_tile[:-1]).astype(jnp.int32),
+            jnp.ones((1,), jnp.int32)])
+        c_img = tile_kernel.render_forward(
+            feat, binn.chunk_tile, binn.chunk_first,
+            chunk_last, jnp.asarray(bg, jnp.float32), num_tiles, n_pix,
+            s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret)
+        image = assemble(c_img, 3)
+        final_t = jnp.zeros((camera.height, camera.width), jnp.float32)
+        return RasterizeOutput(image=image, radii=binn.radius,
+                               is_used=binn.used, num_dup=binn.num_dup,
+                               final_t=final_t)
+
+    c_img, t_img = tile_kernel.tile_blend(
+        feat, binn.chunk_tile, binn.chunk_first, num_tiles, n_pix,
+        s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret)
 
     color = assemble(c_img, 3)
     final_t = assemble(t_img, 1)

@@ -80,7 +80,10 @@ def _tri(chunk: int, inclusive: bool):
 
 
 def _scan_rows(x, exclusive: bool):
-    """Prefix sum along axis=1 (the chunk axis) via MXU triangular matmul."""
+    """Prefix sum along axis=1 (the chunk axis) via MXU triangular matmul.
+
+    (Per-operand precision would halve the MXU passes — the 0/1 triangular
+    RHS is bf16-exact — but Mosaic rejects per-operand dot precision.)"""
     return lax.dot_general(x, _tri(x.shape[1], not exclusive),
                            (((1,), (0,)), ((), ())),
                            precision=lax.Precision.HIGHEST,
@@ -104,6 +107,7 @@ def _alphas(feat, basis, t_in, ox, oy):
     still-gated inclusive product, recovered with a masked min (T is
     monotone non-increasing along the chunk).
     """
+    feat = feat.astype(jnp.float32)  # bf16 inference stream upcasts here
     x = feat[0:1, :] - ox
     y = feat[1:2, :] - oy
     a = feat[2:3, :]
@@ -278,6 +282,79 @@ def _forward(feat, chunk_tile, chunk_first, num_tiles: int, n_pix: int,
         input_output_aliases={3: 0, 4: 1},  # (ct, cf, feat, c_init, t_init)
     )(chunk_tile, chunk_first, feat, c_init, t_init)
     return c_img, t_img
+
+
+def _render_kernel(chunk_tile, chunk_first, chunk_last, feat_ref, bg_ref,
+                   c_init_ref, c_ref, tcar_ref,
+                   *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
+                   num_tiles: int):
+    """Inference-only forward: no transmittance residual output, background
+    composited in-kernel on each tile's last chunk (frozen carry, so
+    saturated tiles get it too). Accepts a bf16 feature stream."""
+    del c_init_ref
+    k = pl.program_id(0)
+    tile = chunk_tile[k]
+    ox = ((tile % grid_x) * tile_x).astype(jnp.float32)
+    oy = ((tile // grid_x) * tile_y).astype(jnp.float32)
+    is_real = tile < num_tiles
+
+    @pl.when(is_real & (chunk_first[k] != 0))
+    def _():
+        c_ref[...] = jnp.zeros_like(c_ref)
+        tcar_ref[...] = jnp.ones_like(tcar_ref)
+
+    @pl.when(is_real & (jnp.max(tcar_ref[...]) > T_EPS))
+    def _():
+        basis = _basis(n_pix, tile_x)
+        v = _alphas(feat_ref[...], basis, tcar_ref[...], ox, oy)
+        contrib = lax.dot_general(v["w"], v["rgb"], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        c_ref[...] = c_ref[...] + contrib[None]
+        tcar_ref[...] = v["t_new"]
+
+    @pl.when(is_real & (chunk_last[k] != 0))
+    def _():
+        c_ref[...] = c_ref[...] + (tcar_ref[...] * bg_ref[...])[None]
+
+
+def render_forward(feat, chunk_tile, chunk_first, chunk_last, bg,
+                   num_tiles: int, n_pix: int, tile_x: int, tile_y: int,
+                   grid_x: int, chunk: int, interpret: bool):
+    """Render-only tile blend: [num_tiles, n_pix, 3] composited over bg."""
+    num_chunks = feat.shape[1] // chunk
+
+    def tile_ix(k, ct, cf, cl):
+        return (jnp.minimum(ct[k], num_tiles - 1), 0, 0)
+
+    feat_spec = pl.BlockSpec((NUM_FEAT, chunk), lambda k, ct, cf, cl: (0, k),
+                             memory_space=pltpu.VMEM)
+    bg_spec = pl.BlockSpec((1, 3), lambda k, ct, cf, cl: (0, 0),
+                           memory_space=pltpu.VMEM)
+    img_spec = pl.BlockSpec((1, n_pix, 3), tile_ix, memory_space=pltpu.VMEM)
+    # Empty tiles get no kernel chunks; their blocks come from this
+    # alias-donated init buffer (pure background).
+    c_init = jnp.broadcast_to(bg.astype(jnp.float32)[None, None, :],
+                              (num_tiles, n_pix, 3))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_chunks,),
+        in_specs=[feat_spec, bg_spec, any_spec],
+        out_specs=[img_spec],
+        scratch_shapes=[pltpu.VMEM((n_pix, 1), jnp.float32)],
+    )
+    kernel = functools.partial(_render_kernel, n_pix=n_pix, tile_x=tile_x,
+                               tile_y=tile_y, grid_x=grid_x,
+                               num_tiles=num_tiles)
+    (c_img,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, n_pix, 3), jnp.float32)],
+        interpret=interpret,
+        # inputs: (ct, cf, cl, feat, bg, c_init)
+        input_output_aliases={5: 0},
+    )(chunk_tile, chunk_first, chunk_last,
+      feat, bg.astype(jnp.float32)[None, :], c_init)
+    return c_img
 
 
 def _backward(feat, chunk_tile, chunk_first, c_img, t_img, dc, dt,

@@ -38,6 +38,33 @@ def _masked_mean(x, mask, axis_dims: int = 1):
     return jnp.sum(jnp.where(mask, per_row, 0.0)) / cnt
 
 
+def swin_loss(opt: OptimizationConfig, settings: RasterizeSettings,
+              state: SwinState, params, camera: CameraParams, gt_image, bg,
+              frame, sh_degree: int):
+    """The swin loss body (shared by the single-device and data-parallel
+    steps): frame-indexed deformable render of the immature+matured union,
+    L1+SSIM plus MCMC regularizers over the ACTIVE set
+    (train_swin.py:148-200). Returns (loss, (l1, num_dup, img, n_active))."""
+    s = state.replace_params(params)
+    kw = swin.union_params_at(s, frame)
+    out = rasterize(kw["means3d"], kw["scales"], kw["quats"],
+                    kw["opacities"], kw["shs"], camera, sh_degree, bg,
+                    settings, alive=kw["alive"])
+    img = out.image
+    ll1 = losses.l1_loss(img, gt_image)
+    lssim = losses.ssim(img, gt_image)
+    loss = (1 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1 - lssim)
+    # MCMC regularizers over the ACTIVE union set
+    # (train_swin.py:177-178 uses render_ret['input_gaussians'])
+    active = kw["alive"]
+    loss = loss + opt.opacity_reg * _masked_mean(
+        jnp.abs(kw["opacities"]), active)
+    loss = loss + opt.scale_reg * _masked_mean(
+        jnp.abs(kw["scales"]), active)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    return loss, (ll1, out.num_dup, img, n_active)
+
+
 def make_swin_train_step(opt: OptimizationConfig,
                          settings: RasterizeSettings,
                          spatial_lr_scale: float,
@@ -71,31 +98,17 @@ def make_swin_train_step(opt: OptimizationConfig,
         }
 
         def loss_fn(params):
-            s = state.replace_params(params)
-            kw = swin.union_params_at(s, frame)
-            out = rasterize(kw["means3d"], kw["scales"], kw["quats"],
-                            kw["opacities"], kw["shs"], camera, sh_degree,
-                            bg, settings, alive=kw["alive"])
-            img = out.image
-            ll1 = losses.l1_loss(img, gt_image)
-            lssim = losses.ssim(img, gt_image)
-            loss = (1 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1 - lssim)
-            # MCMC regularizers over the ACTIVE union set
-            # (train_swin.py:177-178 uses render_ret['input_gaussians'])
-            active = kw["alive"]
-            loss = loss + opt.opacity_reg * _masked_mean(
-                jnp.abs(kw["opacities"]), active)
-            loss = loss + opt.scale_reg * _masked_mean(
-                jnp.abs(kw["scales"]), active)
+            loss, aux = swin_loss(opt, settings, state, params, camera,
+                                  gt_image, bg, frame, sh_degree)
             if arap_weights is not None and nbr_indices is not None:
                 pens = losses.arap_loss(
-                    jax.lax.stop_gradient(s.im.xyz),
+                    jax.lax.stop_gradient(
+                        state.replace_params(params).im.xyz),
                     [params["rigid_v"], params["rigid_rotvec"],
                      params["rigid_rotcen"]], nbr_indices)
                 loss = loss + jnp.sum(
                     pens * jnp.asarray(arap_weights, jnp.float32))
-            n_active = jnp.sum(active.astype(jnp.int32))
-            return loss, (ll1, out.num_dup, img, n_active)
+            return loss, aux
 
         (loss, (ll1, num_dup, img, n_active)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params())

@@ -67,27 +67,49 @@ def train_slide_window(state, adam, scene: DynamicScene,
     viewpoint_stack = []
     nbr_indices = None
     enable_arap = getattr(args, "enable_arap", False)
+    n_dp = getattr(args, "data_parallel", 1)
     t_start = time.time()
     for it in range(first_iter + 1, total + 1):
         sh_degree = (min(it // 1000, model_cfg.sh_degree) if genesis
                      else model_cfg.sh_degree)
-        if not viewpoint_stack:
-            cams = scene.get_train_cams_at(swin_mgr.sampled_frames())
-            viewpoint_stack = list(cams)
-            random.shuffle(viewpoint_stack)
-        cam_obj = viewpoint_stack.pop()
-        camera, gt = cam_obj.load()
         key, k_step = jax.random.split(key)
         if enable_arap and (nbr_indices is None
                             or it % opt.densification_interval == 0):
             from gsplat_tpu.model.knn import knn_indices
 
             nbr_indices = knn_indices(state.im.xyz, k=20)[1]
-        state, adam, m = train_step(
-            state, adam, k_step, camera, jnp.asarray(gt), bg,
-            jnp.asarray(it, jnp.float32),
-            jnp.asarray(float(cam_obj.frame)), sh_degree,
-            nbr_indices=nbr_indices)
+        if n_dp > 1:
+            # one window (camera, frame) sample per device, psum-averaged
+            from gsplat_tpu.parallel.dp import stack_cameras
+
+            cam_list, gt_list, frame_list = [], [], []
+            for _ in range(n_dp):
+                if not viewpoint_stack:
+                    cams = scene.get_train_cams_at(swin_mgr.sampled_frames())
+                    viewpoint_stack = list(cams)
+                    random.shuffle(viewpoint_stack)
+                cam_obj = viewpoint_stack.pop()
+                camera, gt = cam_obj.load()
+                cam_list.append(camera)
+                gt_list.append(jnp.asarray(gt))
+                frame_list.append(float(cam_obj.frame))
+            # train_step is the lru-cached DP builder in this mode
+            state, adam, m = train_step(sh_degree)(
+                state, adam, k_step, stack_cameras(cam_list),
+                jnp.stack(gt_list), jnp.asarray(frame_list, jnp.float32),
+                bg, jnp.asarray(it, jnp.float32))
+        else:
+            if not viewpoint_stack:
+                cams = scene.get_train_cams_at(swin_mgr.sampled_frames())
+                viewpoint_stack = list(cams)
+                random.shuffle(viewpoint_stack)
+            cam_obj = viewpoint_stack.pop()
+            camera, gt = cam_obj.load()
+            state, adam, m = train_step(
+                state, adam, k_step, camera, jnp.asarray(gt), bg,
+                jnp.asarray(it, jnp.float32),
+                jnp.asarray(float(cam_obj.frame)), sh_degree,
+                nbr_indices=nbr_indices)
 
         densify_now = (
             (opt.densify_from_iter < it < opt.densify_until_iter
@@ -200,10 +222,19 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
     arap_w = (0.1, 0.1, 0.1) if getattr(args, "enable_arap", False) else None
 
+    n_dp = getattr(args, "data_parallel", 1)
+
     def build_steps(s):
-        return (sstep.make_swin_train_step(opt, s, scene.cameras_extent,
-                                           arap_weights=arap_w),
-                sstep.make_swin_densify_step(capacity, args.swin_size),
+        if n_dp > 1:
+            from gsplat_tpu.parallel.mesh import make_mesh
+            from gsplat_tpu.parallel.swin_dp import make_dp_swin_train_step
+
+            step = make_dp_swin_train_step(make_mesh(n_dp), opt, s,
+                                           scene.cameras_extent)
+        else:
+            step = sstep.make_swin_train_step(opt, s, scene.cameras_extent,
+                                              arap_weights=arap_w)
+        return (step, sstep.make_swin_densify_step(capacity, args.swin_size),
                 sstep.make_swin_eval_step(s))
 
     train_step, densify, eval_step = build_steps(settings)
@@ -269,6 +300,10 @@ def main(argv=None):
     parser.add_argument("--enable_arap", action="store_true",
                         help="ARAP rigidity regularizer over the immature "
                              "KNN graph (reference ships this gated off)")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="camera-batch data parallelism: one window "
+                             "(camera, frame) sample per device, gradients "
+                             "psum-averaged over the mesh")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 

@@ -147,3 +147,126 @@ def test_pshard_render_matches_single_device():
     g = jax.grad(loss)(jnp.asarray(means))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0.0
+
+
+def _mini_state(p=96, cap=128, seed=0):
+    rng = np.random.default_rng(seed)
+    return gaussians.create_from_points(
+        rng.uniform(-1, 1, (p, 3)).astype(np.float32),
+        rng.uniform(0, 1, (p, 3)).astype(np.float32),
+        capacity=cap, max_sh_degree=1)
+
+
+def test_pshard_gather_grad_scaling():
+    """The /n_dev loss convention must make shard_map's all_gather
+    transpose deliver exactly dL/d(shard) — no device-count overcount."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    mesh = make_mesh(8, axis_name="ps")
+    x = jnp.arange(64, dtype=jnp.float32) / 7.0
+
+    def per_device(xs):
+        def loss_fn(xl):
+            full = jax.lax.all_gather(xl, "ps").reshape(-1)
+            return jnp.sum(full ** 3) / 8
+        return jax.grad(loss_fn)(xs)
+
+    g = shard_map(per_device, mesh=mesh, in_specs=P("ps"),
+                  out_specs=P("ps"), check_vma=False)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(3 * x ** 2),
+                               rtol=1e-5)
+
+
+def _run_pshard_step(n_dev, state, opt, settings, cam, gt):
+    from gsplat_tpu.parallel.pshard import make_pshard_train_step
+
+    mesh = make_mesh(n_dev, axis_name="ps")
+    step = make_pshard_train_step(mesh, opt, settings, spatial_lr_scale=1.0,
+                                  sh_degree=1, axis="ps")
+    params = jax.tree.map(jnp.copy, state.params())  # step donates its args
+    adam = optim.init(params)
+    return step(params, state.alive_mask, adam,
+                jax.random.PRNGKey(3), cam, gt, jnp.zeros(3), 1.0,
+                int(state.n_alive))
+
+
+def test_pshard_train_step_matches_replicated():
+    """n_dev=1 P-shard step == plain replicated step EXACTLY (same render);
+    n_dev=8 must reproduce the loss and stay finite (slab compositing
+    differs from the global render only via per-slab T early-stop)."""
+    from gsplat_tpu.train import step as step_lib
+    from gsplat_tpu.train.config import OptimizationConfig
+
+    opt = OptimizationConfig(noise_lr=0.0)  # deterministic parity
+    settings = RasterizeSettings(k_dup=4096, tile_x=16, tile_y=16, chunk=128,
+                                 interpret=True)
+    state = _mini_state()
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, 48, 32)
+    gt = jnp.full((32, 48, 3), 0.5)
+
+    ref_step = step_lib.make_train_step(opt, settings, spatial_lr_scale=1.0)
+    state_in = jax.tree.map(jnp.copy, state)  # ref_step donates its args
+    ref_state, _, ref_m = ref_step(state_in, optim.init(state.params()),
+                                   jax.random.PRNGKey(3), cam, gt,
+                                   jnp.zeros(3), jnp.asarray(1.0), 1)
+
+    p1, _, m1 = _run_pshard_step(1, state, opt, settings, cam, gt)
+    np.testing.assert_allclose(float(m1.loss), float(ref_m.loss), rtol=1e-6)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p1[k]),
+                                   np.asarray(ref_state.params()[k]),
+                                   atol=1e-5, err_msg=k)
+
+    p8, _, m8 = _run_pshard_step(8, state, opt, settings, cam, gt)
+    np.testing.assert_allclose(float(m8.loss), float(ref_m.loss), rtol=3e-3)
+    for k in p8:
+        assert np.isfinite(np.asarray(p8[k])).all(), k
+        # same optimizer scale: per-group update magnitude must agree
+        du8 = np.abs(np.asarray(p8[k]) - np.asarray(state.params()[k])).max()
+        duref = np.abs(np.asarray(ref_state.params()[k])
+                       - np.asarray(state.params()[k])).max()
+        assert du8 <= 2.0 * duref + 1e-7, (k, du8, duref)
+
+
+def test_dp_swin_step_matches_single_device():
+    """8 identical (camera, gt, frame) samples through the DP swin step must
+    reproduce the single-device swin step exactly (pmean of equal grads ==
+    the grads; replicated noise)."""
+    from tests.test_swin import _make_swin_state
+    from gsplat_tpu.parallel.dp import stack_cameras
+    from gsplat_tpu.parallel.swin_dp import make_dp_swin_train_step
+    from gsplat_tpu.train import swin_step as sstep
+    from gsplat_tpu.train.config import OptimizationConfig
+
+    opt = OptimizationConfig()
+    settings = RasterizeSettings(k_dup=4096, tile_x=16, tile_y=16, chunk=128,
+                                 interpret=True)
+    state = _make_swin_state(n=32, capacity=64)
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, 48, 32)
+    gt = jnp.full((32, 48, 3), 0.4)
+    bg = jnp.zeros(3)
+    key = jax.random.PRNGKey(11)
+
+    ref_step = sstep.make_swin_train_step(opt, settings, spatial_lr_scale=1.0)
+    s_in = jax.tree.map(jnp.copy, state)
+    ref_state, _, ref_m = ref_step(s_in, optim.init(state.params()), key,
+                                   cam, gt, bg, jnp.asarray(1.0),
+                                   jnp.asarray(1.0), 1)
+
+    mesh = make_mesh(8, axis_name="dp")
+    build = make_dp_swin_train_step(mesh, opt, settings, spatial_lr_scale=1.0)
+    step = build(1)
+    cam_batch = stack_cameras([cam] * 8)
+    gt_batch = jnp.stack([gt] * 8)
+    frames = jnp.ones((8,), jnp.float32)
+    s_in2 = jax.tree.map(jnp.copy, state)
+    dp_state, _, dp_m = step(s_in2, optim.init(state.params()), key,
+                             cam_batch, gt_batch, frames, bg, 1.0)
+
+    np.testing.assert_allclose(float(dp_m.loss), float(ref_m.loss), rtol=1e-6)
+    np.testing.assert_allclose(float(dp_m.psnr), float(ref_m.psnr), rtol=1e-5)
+    for k in state.params():
+        np.testing.assert_allclose(np.asarray(dp_state.params()[k]),
+                                   np.asarray(ref_state.params()[k]),
+                                   atol=1e-5, err_msg=k)

@@ -141,3 +141,39 @@ def test_dup_overflow_reported():
     means, scales, quats, opa, shs = params
     out = rasterize(means, scales, quats, opa, shs, cam, SH_DEGREE, BG, tiny)
     assert int(out.num_dup) > tiny.k_dup  # overflow is visible, not silent
+
+
+def test_inference_path_matches_training_path():
+    """settings.inference (bf16 stream, in-kernel bg, no residuals) must
+    agree with the differentiable path within bf16 feature tolerance."""
+    import dataclasses
+
+    params = make_scene()
+    cam = make_cam()
+    out = run_fast(params, cam)
+    inf = RasterizeSettings(**{**dataclasses.asdict(SETTINGS),
+                               "inference": True})
+    means, scales, quats, opa, shs = params
+    out_inf = rasterize(means, scales, quats, opa, shs, cam, SH_DEGREE, BG,
+                        inf)
+    # bf16 features round the conic at steep edges; gate on image PSNR
+    # (>= 40 dB == visually identical) plus a tight mean error.
+    diff = np.asarray(out_inf.image) - np.asarray(out.image)
+    psnr = -10.0 * np.log10(np.mean(diff ** 2) + 1e-12)
+    assert psnr >= 40.0, f"inference path PSNR {psnr:.1f} dB"
+    assert np.abs(diff).mean() < 5e-3
+    assert int(out_inf.num_dup) == int(out.num_dup)
+    # residual-free: final_t is a zeros placeholder in inference mode
+    assert float(jnp.max(out_inf.final_t)) == 0.0
+
+
+def test_multi_cummax_matches_lax():
+    from gsplat_tpu.raster.scan_kernel import multi_cummax
+
+    rng = np.random.default_rng(7)
+    arrays = [jnp.asarray(rng.integers(-1000, 1000, n).astype(np.int32))
+              for n in (5000, 5000, 5000)]
+    got = multi_cummax(arrays, interpret=True)
+    for g, a in zip(got, arrays):
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.asarray(jax.lax.cummax(a)))

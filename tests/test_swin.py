@@ -238,3 +238,29 @@ def test_render_stream_cli(tmp_path):
     img = np.asarray(Image.open(os.path.join(renders,
                                              sorted(os.listdir(renders))[0])))
     assert img.shape[2] == 3 and np.isfinite(img).all()
+
+
+@pytest.mark.slow
+def test_swin_e2e_training_data_parallel(tmp_path):
+    """Same pipeline with --data_parallel 2: one (camera, frame) sample per
+    device, psum-averaged gradients (parallel/swin_dp.py)."""
+    from tests.test_data import _make_swings_fixture
+    from gsplat_tpu.train.train_swin import main as swin_main
+
+    _make_swings_fixture(tmp_path, n_cams=3, n_frames=4)
+    out = str(tmp_path / "model_dp")
+    swin_main([
+        "-s", str(tmp_path), "-m", out,
+        "--iterations", "6", "--cap_max", "48", "--init_pts", "24",
+        "--max_frame", "4", "--swin_size", "2", "--deform",
+        "--densify_from_iter", "2", "--densify_until_iter", "5",
+        "--densification_interval", "3",
+        "--test_iterations", "-1", "--save_iterations", "-1",
+        "--dup_budget", "4096", "--data_parallel", "2",
+    ])
+    assert os.path.exists(os.path.join(out, "streamable.dat"))
+    from gsplat_tpu.utils.stream import stream_load
+
+    data = stream_load(os.path.join(out, "format.json"),
+                       os.path.join(out, "streamable.dat"))
+    assert np.all(np.isfinite(data["xyz"]))
