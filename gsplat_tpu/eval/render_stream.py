@@ -66,6 +66,7 @@ def main(argv=None):
     parser.add_argument("--source_path", "-s", required=True)
     parser.add_argument("--frames", nargs=2, type=int, default=None)
     parser.add_argument("--max_frame", type=int, default=100)
+    parser.add_argument("--min_frame", type=int, default=0)
     parser.add_argument("--resolution", "-r", type=int, default=-1)
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--white_background", "-w", action="store_true")
@@ -75,7 +76,8 @@ def main(argv=None):
     data = load_stream_state(args.model_path)
     n = data["xyz"].shape[0]
     scene = DynamicScene(args.source_path, "", resolution=args.resolution,
-                         max_frame=args.max_frame, shuffle=False)
+                         max_frame=args.max_frame, min_frame=args.min_frame,
+                         shuffle=False)
     bg = jnp.asarray([1.0, 1.0, 1.0] if args.white_background
                      else [0.0, 0.0, 0.0])
     k_dup = args.dup_budget or max(8 * n, 1 << 16)
@@ -85,7 +87,7 @@ def main(argv=None):
     render_jit = jax.jit(lambda cam, f: render_stream_frame(
         data, cam, f, bg, settings))
 
-    lo, hi = args.frames if args.frames else (0, args.max_frame)
+    lo, hi = args.frames if args.frames else (0, scene.num_frames)
     splits = [("test", scene.get_test_cams_at)]
     if not args.skip_train:
         splits.append(("train", scene.get_train_cams_at))

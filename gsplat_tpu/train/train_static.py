@@ -64,7 +64,8 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                            resolution=model_cfg.resolution,
                            init_type=model_cfg.init_type,
                            num_pts=model_cfg.init_pts,
-                           max_frame=model_cfg.max_frame)
+                           max_frame=model_cfg.max_frame,
+                           min_frame=model_cfg.min_frame)
         train_cams = dyn.get_train_cams_at([args.frame])
         test_cams = dyn.get_test_cams_at([args.frame])
         info_points, info_colors = dyn.info.points, dyn.info.colors

@@ -195,8 +195,12 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                          resolution=model_cfg.resolution,
                          init_type=model_cfg.init_type,
                          num_pts=model_cfg.init_pts,
-                         max_frame=model_cfg.max_frame)
-    swin_mgr = SliWinManager(args.swin_size, model_cfg.max_frame,
+                         max_frame=model_cfg.max_frame,
+                         min_frame=model_cfg.min_frame)
+    # the window operates in REBASED frame space (frames min_frame..max_frame
+    # load as 0..num_frames-1; reference scene/__init__.py:167-168 +
+    # camera_utils.py:92)
+    swin_mgr = SliWinManager(args.swin_size, scene.num_frames,
                              MAX_FRAME_IN_MEMORY)
 
     capacity = model_cfg.cap_max

@@ -186,3 +186,25 @@ def test_swings_reader_and_dynamic_scene(tmp_path):
     assert scene.train_cam_at[1][0].loaded
     scene.unload_all()
     assert not scene.train_cam_at[2][0].loaded
+
+
+def test_swings_reader_min_frame(tmp_path):
+    """min_frame loads + REBASES frames (reference scene/__init__.py:167-168,
+    camera_utils.py:92): frames min..max-1 come back as 0..span-1 with image
+    paths still pointing at the on-disk frame directories."""
+    _make_swings_fixture(tmp_path, n_cams=3, n_frames=6)
+    info = read_dynamic_scene(str(tmp_path), min_frame=2, max_frame=6,
+                              num_pts=20)
+    assert len(info.train_cam_at) == 4
+    for t, cams in enumerate(info.train_cam_at):
+        for c in cams:
+            assert c.frame == t  # rebased
+            assert f"/{t + 2}/" in c.image_path  # on-disk frame number
+    from gsplat_tpu.data.scene import DynamicScene
+
+    scene = DynamicScene(str(tmp_path), "", min_frame=2, max_frame=6,
+                         shuffle=False)
+    assert scene.num_frames == 4
+    cams = scene.get_train_cams_at([0])
+    cam, img = cams[0].load()
+    assert img.shape[2] == 3

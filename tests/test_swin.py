@@ -264,3 +264,34 @@ def test_swin_e2e_training_data_parallel(tmp_path):
     data = stream_load(os.path.join(out, "format.json"),
                        os.path.join(out, "streamable.dat"))
     assert np.all(np.isfinite(data["xyz"]))
+
+
+@pytest.mark.slow
+def test_swin_e2e_training_min_frame(tmp_path):
+    """Sliding-window training on a NONZERO-based frame range: --min_frame 2
+    must train on rebased frames 0..1 (the reference's flagship actorshq
+    160-220 layout, run_exp1.sh)."""
+    from tests.test_data import _make_swings_fixture
+    from gsplat_tpu.train.train_swin import main as swin_main
+
+    _make_swings_fixture(tmp_path, n_cams=3, n_frames=6)
+    out = str(tmp_path / "model_mf")
+    swin_main([
+        "-s", str(tmp_path), "-m", out,
+        "--iterations", "6", "--cap_max", "48", "--init_pts", "24",
+        "--min_frame", "2", "--max_frame", "6", "--swin_size", "2",
+        "--deform", "--densify_from_iter", "2", "--densify_until_iter", "5",
+        "--densification_interval", "3",
+        "--test_iterations", "-1", "--save_iterations", "-1",
+        "--dup_budget", "4096",
+    ])
+    from gsplat_tpu.utils.stream import stream_load
+
+    data = stream_load(os.path.join(out, "format.json"),
+                       os.path.join(out, "streamable.dat"))
+    # all lifespans live in rebased space: births start at 0 (not at the
+    # on-disk frame number 2+) and ends stay within span + lifespan
+    assert data["start_frame"].min() >= 0
+    assert data["start_frame"].max() <= 4
+    assert data["end_frame"].max() <= 4 + 2
+    assert np.all(np.isfinite(data["xyz"]))
