@@ -81,9 +81,13 @@ def main():
             [rng.uniform(-0.5, 1.5, (p_gt, 1, 3)),
              np.zeros((p_gt, 15, 3))], 1).astype(np.float32)),
     )
+    import dataclasses
+
     cams = _orbit_cameras(8, w, h)
+    # train steps consume channel-first gt (see step.py)
+    chw = dataclasses.replace(settings, layout="chw")
     render_gt = jax.jit(lambda c: rasterize(*gt_scene, c, sh, bg,
-                                            settings).image)
+                                            chw).image)
     gts = [render_gt(c) for c in cams]
     jax.block_until_ready(gts[-1])
     log("gt rendered")
@@ -96,7 +100,6 @@ def main():
         st.xyz, st.get_scaling(), st.get_rotation(), st.get_opacity()[:, 0],
         st.get_features(), cams[0], sh, bg, settings,
         alive=st.alive_mask).num_dup)
-    import dataclasses
     settings = dataclasses.replace(
         settings, k_dup=probe_k_dup(probe_fn, state, settings.chunk))
     log(f"dup budget {settings.k_dup}")

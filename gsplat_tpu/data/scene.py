@@ -53,7 +53,8 @@ class Scene:
                  images: str = "images", eval_split: bool = True,
                  resolution: int = -1, white_background: bool = False,
                  init_type: str = "sfm", num_pts: int = 100_000,
-                 shuffle: bool = True, scene_type: Optional[str] = None):
+                 shuffle: bool = True, scene_type: Optional[str] = None,
+                 resolution_scales: Optional[List[float]] = None):
         self.model_path = model_path
         scene_type = scene_type or detect_scene_type(source_path)
         reader = SCENE_LOAD_CALLBACKS[scene_type]
@@ -79,10 +80,34 @@ class Scene:
         if shuffle:
             random.shuffle(info.train_cameras)
 
-        self.train_cameras = [LazyCamera(c, args_resolution=resolution)
-                              for c in info.train_cameras]
-        self.test_cameras = [LazyCamera(c, args_resolution=resolution)
-                             for c in info.test_cameras]
+        # Multi-scale camera sets (scene/__init__.py:31,74-80): one LazyCamera
+        # list per requested scale; scale multiplies the downscale factor.
+        self.resolution_scales = list(resolution_scales or [1.0])
+        self._train_cameras: Dict[float, List[LazyCamera]] = {}
+        self._test_cameras: Dict[float, List[LazyCamera]] = {}
+        for scale in self.resolution_scales:
+            self._train_cameras[scale] = [
+                LazyCamera(c, resolution_scale=scale,
+                           args_resolution=resolution)
+                for c in info.train_cameras]
+            self._test_cameras[scale] = [
+                LazyCamera(c, resolution_scale=scale,
+                           args_resolution=resolution)
+                for c in info.test_cameras]
+
+    def get_train_cameras(self, scale: float = 1.0) -> List[LazyCamera]:
+        return self._train_cameras[scale]
+
+    def get_test_cameras(self, scale: float = 1.0) -> List[LazyCamera]:
+        return self._test_cameras[scale]
+
+    @property
+    def train_cameras(self) -> List[LazyCamera]:
+        return self._train_cameras[self.resolution_scales[0]]
+
+    @property
+    def test_cameras(self) -> List[LazyCamera]:
+        return self._test_cameras[self.resolution_scales[0]]
 
     def point_cloud_path(self, iteration: int) -> str:
         return os.path.join(self.model_path,

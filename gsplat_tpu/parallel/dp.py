@@ -47,9 +47,15 @@ def make_dp_train_step(mesh: Mesh, opt: OptimizationConfig,
     """Build the jitted data-parallel train step.
 
     Inputs: ``cam_batch`` is a CameraParams with leading device axis,
-    ``gt_batch`` is [n_dev, H, W, 3]; state/adam are replicated.
+    ``gt_batch`` is [n_dev, 3, H, W] channel-first (see step.py — a
+    channels-minor image is lane-padded 3->128 on TPU); state/adam are
+    replicated.
     """
+    import dataclasses as _dc
+
     from gsplat_tpu.core.schedule import expon_lr
+
+    settings = _dc.replace(settings, layout="chw")
 
     def per_device(state: GaussianState, adam: optim.AdamState, key,
                    cam_batch: CameraParams, gt_batch, bg, iteration,

@@ -71,7 +71,12 @@ def make_pshard_render(mesh: Mesh, settings: RasterizeSettings,
     quats, opacities [P], shs [P,K,3], alive [P]; camera + bg replicated.
     Returns the composited [H, W, 3] image (replicated).
     """
+    import dataclasses as _dc
+
     n_dev = mesh.shape[axis]
+    # internal compositing runs channel-first (see step.py); the public
+    # return stays [H, W, 3]
+    settings = _dc.replace(settings, layout="chw")
 
     def per_device(means, scales, quats, opa, shs, alive, camera: CameraParams,
                    bg):
@@ -96,11 +101,11 @@ def make_pshard_render(mesh: Mesh, settings: RasterizeSettings,
         out = rasterize(means_f, scales_f, quats_f, opa_f, shs_f, camera,
                         sh_degree, jnp.zeros(3), settings,
                         alive=alive_f & my_mask)
-        c_local = out.image          # premultiplied (bg=0)
-        t_local = out.final_t[..., None]
+        c_local = out.image          # [3, H, W] premultiplied (bg=0)
+        t_local = out.final_t[None]  # [1, H, W]
 
-        cs = lax.all_gather(c_local, axis)   # [n_dev, H, W, 3]
-        ts = lax.all_gather(t_local, axis)   # [n_dev, H, W, 1]
+        cs = lax.all_gather(c_local, axis)   # [n_dev, 3, H, W]
+        ts = lax.all_gather(t_local, axis)   # [n_dev, 1, H, W]
 
         def fold(carry, xt):
             c_acc, t_acc = carry
@@ -110,7 +115,7 @@ def make_pshard_render(mesh: Mesh, settings: RasterizeSettings,
         (c_fin, t_fin), _ = lax.scan(
             fold, (jnp.zeros_like(c_local), jnp.ones_like(t_local)),
             (cs, ts))
-        return c_fin + t_fin * bg
+        return (c_fin + t_fin * bg[:, None, None]).transpose(1, 2, 0)
 
     rep = P()
     shd = P(axis)
@@ -143,7 +148,11 @@ def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
     + atomicAdd, rasterizer_impl.cu:304-309 / backward.cu:523-554). Adam
     state never leaves the shard. MCMC densification runs OUTSIDE this step
     on gathered state (it is a once-per-100-iters host-paced op).
+
+    ``gt`` must arrive channel-first [3, H, W] (see step.py).
     """
+    import dataclasses as _dc
+
     from gsplat_tpu.core.covariance import covariance_6
     from gsplat_tpu.core.quaternion import normalize
     from gsplat_tpu.core.schedule import expon_lr
@@ -151,6 +160,7 @@ def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
     from gsplat_tpu.train import losses
 
     n_dev = mesh.shape[axis]
+    settings = _dc.replace(settings, layout="chw")
 
     def per_device(params, alive, adam, key, camera: CameraParams, gt, bg,
                    iteration, n_alive_total):
@@ -181,8 +191,8 @@ def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
             out = rasterize(means_f, scales_f, quats_f, opa_f, shs_f, camera,
                             sh_degree, jnp.zeros(3), settings,
                             alive=alive_f & my_mask)
-            cs = lax.all_gather(out.image, axis)
-            ts = lax.all_gather(out.final_t[..., None], axis)
+            cs = lax.all_gather(out.image, axis)        # [n_dev, 3, H, W]
+            ts = lax.all_gather(out.final_t[None], axis)  # [n_dev, 1, H, W]
 
             def fold(carry, xt):
                 c_acc, t_acc = carry
@@ -191,8 +201,8 @@ def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
 
             (c_fin, t_fin), _ = lax.scan(
                 fold, (jnp.zeros_like(out.image),
-                       jnp.ones_like(out.final_t[..., None])), (cs, ts))
-            img = c_fin + t_fin * bg
+                       jnp.ones_like(out.final_t[None])), (cs, ts))
+            img = c_fin + t_fin * bg[:, None, None]
 
             ll1 = losses.l1_loss(img, gt)
             lssim = losses.ssim(img, gt)

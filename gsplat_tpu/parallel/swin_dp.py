@@ -34,9 +34,12 @@ def make_dp_swin_train_step(mesh: Mesh, opt: OptimizationConfig,
     """Build the jitted data-parallel swin train step.
 
     ``cam_batch`` is a CameraParams with leading device axis, ``gt_batch``
-    is [n_dev, H, W, 3], ``frame_batch`` is [n_dev] f32 (one window frame
-    per device); state/adam are replicated.
+    is [n_dev, 3, H, W] channel-first (see step.py), ``frame_batch`` is
+    [n_dev] f32 (one window frame per device); state/adam are replicated.
     """
+    import dataclasses as _dc
+
+    settings = _dc.replace(settings, layout="chw")
 
     def per_device(state: SwinState, adam: optim.AdamState, key,
                    cam_batch: CameraParams, gt_batch, frame_batch, bg,

@@ -47,8 +47,9 @@ class Binning(NamedTuple):
                               # per padded slot; == P for padding slots
     order: jnp.ndarray        # [P] int32: depth rank -> original gaussian id
     tile_of_slot: jnp.ndarray  # [K_slots] int32 tile id (clamped)
-    chunk_tile: jnp.ndarray   # [K_slots/chunk] int32 tile per kernel chunk
-    chunk_first: jnp.ndarray  # [K_slots/chunk] int32 1 at a tile's 1st chunk
+    chunk_meta: jnp.ndarray   # [K_slots/chunk] int32 packed per kernel chunk:
+                              # tile_id << 2 | is_first << 1 | is_last
+                              # (sentinel chunks carry tile_id == num_tiles)
     tile_len: jnp.ndarray     # [T] int32 rect duplicates per tile
     num_dup: jnp.ndarray      # [] int32 true duplicate count (overflow if > k_dup)
     radius: jnp.ndarray       # [P] int32 radius, empty-rect Gaussians zeroed
@@ -88,9 +89,12 @@ def _tile_histogram(min_x, min_y, max_x, max_y, active, grid_x, grid_y):
 
 def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
                   grid_x: int, grid_y: int, k_dup: int,
-                  chunk: int = 128, interpret: bool = False) -> Binning:
+                  chunk: int = 128, align: int = 1,
+                  interpret: bool = False) -> Binning:
     """Expand visible Gaussians into depth-sorted, chunk-padded per-tile
-    duplicate lists."""
+    duplicate lists. ``align`` rounds the total slot count up to a multiple
+    of ``align`` chunks with trailing sentinel chunks (the super-chunked
+    render kernel consumes fixed groups of chunks per grid step)."""
     p = proc.xy.shape[0]
     num_tiles = grid_x * grid_y
 
@@ -136,40 +140,52 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # --- duplicate expansion: slot -> owning gaussian via marker scans ---
     # Everything per-duplicate comes from cummax owner-scans — ZERO gathers.
     # Arbitrary (non-monotone) per-gaussian values ride the scans packed as
-    # (depth_rank << bits) | value: ranks strictly increase across range
-    # starts, so the cumulative max always carries the LATEST range's pack.
-    # (Per-index gather/scatter costs ~8ns on TPU; a fused scan pass costs
-    # ~0.4ns/element — jax.profiler round 2.)
+    # ((depth_rank + 1) << bits) | value: ranks strictly increase across
+    # range starts, so the cumulative max always carries the LATEST range's
+    # pack. Exactly TWO scatters (scatter cost is per COLUMN-index, ~9ns on
+    # TPU; a 4-column row scatter measured 2.4x the cost of 4 scalar
+    # scatters, and each dropped column is ~0.9ms back at P=100k):
+    #   colA = (rank+1, min_x, min_y)   colB = (rank+1, w, h)
+    # The range BASE needs no scatter: marked slots (colA > 0 pre-scan) ARE
+    # the starts, so base rides a cummax of (is_start ? slot : 0). The old
+    # next_start column is w*h arithmetic. Indices (the cumsum offsets) are
+    # ascending, so the scatters take the sorted fast path; zero-count
+    # gaussians share their successor's start and lose the max by rank.
     g_ids = jnp.arange(p, dtype=jnp.int32)
-    starts = jnp.where(counts > 0, offsets[:p], k_dup)  # >= k_dup => dropped
-    rank_bits = max(int(p).bit_length(), 1)  # holds values 0..p inclusive
+    rank_bits = max(int(p).bit_length(), 1)  # holds values 1..p inclusive
     xb = max(int(grid_x).bit_length(), 1)    # holds 0..grid_x inclusive
     yb = max(int(grid_y).bit_length(), 1)
     assert rank_bits + xb + yb <= 31, (
         f"pack overflow: P={p} grid={grid_x}x{grid_y}; shrink cap or grid")
 
-    minx_d = jnp.stack([min_x, min_y], 1)[order]  # [P, 2] tiny row gather
-    rect_pack = ((g_ids << (xb + yb))
-                 | (minx_d[:, 0] << yb) | minx_d[:, 1])
-    w_g = jnp.maximum(max_x - min_x, 1)[order]
-    w_pack = (g_ids << xb) | w_g
+    # w/h masked by ``active`` so count_d == counts exactly (an inactive
+    # gaussian can still have a non-empty projected rect)
+    minx_d = jnp.stack([min_x, min_y,
+                        jnp.where(active, max_x - min_x, 0),
+                        jnp.where(active, max_y - min_y, 0)],
+                       1)[order]  # [P, 4] tiny row gather
+    rankp1 = (g_ids + 1) << (xb + yb)
+    rect_pack = rankp1 | (minx_d[:, 0] << yb) | minx_d[:, 1]
+    wh_pack = rankp1 | (minx_d[:, 2] << yb) | minx_d[:, 3]
 
-    def marks(values, fill):
-        return jnp.full((k_dup,), fill, jnp.int32).at[starts].max(
-            values, mode="drop")
-
-    # fill 0 (NOT a large sentinel: the fill must lose the max-scatter);
-    # slots before the first range then get next_start 0 => not in budget.
-    base_of_d, rect_d, w_scan, next_start = multi_cummax(
-        [marks(offsets[:p], 0), marks(rect_pack, 0), marks(w_pack, 1),
-         marks(offsets[1:p + 1], 0)], interpret=interpret)
-    w_d = w_scan & ((1 << xb) - 1)
+    starts = offsets[:p]  # ascending (cumsum); >= k_dup rows drop
+    fill = jnp.zeros((k_dup,), jnp.int32)  # fill must LOSE the max-scatter
+    marked_a = fill.at[starts].max(rect_pack, mode="drop",
+                                   indices_are_sorted=True)
+    marked_b = fill.at[starts].max(wh_pack, mode="drop",
+                                   indices_are_sorted=True)
     d = jnp.arange(k_dup, dtype=jnp.int32)
+    base_in = jnp.where(marked_a > 0, d, 0)
+    rect_d, wh_d, base_of_d = multi_cummax(
+        [marked_a, marked_b, base_in], interpret=interpret)
     r = d - base_of_d
 
-    g_of_d = rect_d >> (xb + yb)  # depth rank rides the rect pack
+    g_of_d = (rect_d >> (xb + yb)) - 1  # depth rank rides the pack
     minx_dd = (rect_d >> yb) & ((1 << xb) - 1)
     miny_dd = rect_d & ((1 << yb) - 1)
+    w_d = (wh_d >> yb) & ((1 << xb) - 1)
+    h_d = wh_d & ((1 << yb) - 1)
+    count_d = w_d * h_d
     w_dd = jnp.maximum(w_d, 1)
     tx = minx_dd + r % w_dd
     ty = miny_dd + r // w_dd
@@ -182,7 +198,8 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # training loops regrow the budget). No per-duplicate contribution cull:
     # the kernel's own 1/255 alpha floor drops sub-threshold contributions
     # per pixel (forward.cu:345-346 semantics), image-identically.
-    in_budget = (d < next_start) & (next_start <= k_dup)
+    in_budget = ((rect_d > 0) & (r < count_d)
+                 & (base_of_d + count_d <= k_dup))
     dup_key = jnp.where(in_budget, tile_id, num_tiles).astype(jnp.int32)
     dup_rank = jnp.where(in_budget, g_of_d, p)
 
@@ -202,10 +219,14 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
 
     k_aligned = (-(-k_dup // chunk)) * chunk
     dup_pad = k_aligned - k_dup  # align the budget itself
+    total = k_aligned + num_tiles * chunk
+    tail_pad = (-total) % (chunk * align)  # sentinel chunks to align total
     all_keys = jnp.concatenate([
-        dup_key, jnp.full((dup_pad,), num_tiles, jnp.int32), pad_key])
+        dup_key, jnp.full((dup_pad,), num_tiles, jnp.int32), pad_key,
+        jnp.full((tail_pad,), num_tiles, jnp.int32)])
     all_rank = jnp.concatenate([
-        dup_rank, jnp.full((dup_pad + num_tiles * chunk,), p, jnp.int32)])
+        dup_rank,
+        jnp.full((dup_pad + num_tiles * chunk + tail_pad,), p, jnp.int32)])
 
     # stable single-key sort: within a tile, slots stay in depth order.
     # Packed single-array path when (tile, rank) fits in 32 bits — the
@@ -214,7 +235,9 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     if (num_tiles + 1) <= (1 << (32 - rank_bits)):
         packed = ((all_keys.astype(jnp.uint32) << rank_bits)
                   | all_rank.astype(jnp.uint32))
-        packed = lax.sort(packed, dimension=0)
+        # is_stable=False: ties only among same-tile pads/sentinels whose
+        # order is irrelevant — keeps XLA's fast single-array sort path.
+        packed = lax.sort(packed, dimension=0, is_stable=False)
         key_sorted = (packed >> rank_bits).astype(jnp.int32)
         gid_sorted = (packed & jnp.uint32((1 << rank_bits) - 1)
                       ).astype(jnp.int32)
@@ -223,17 +246,22 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
                                           num_keys=1, is_stable=True)
 
     tile_of_slot = jnp.minimum(key_sorted, num_tiles - 1)
-    # chunk_tile keeps the sentinel (== num_tiles) for fully-invalid trailing
-    # chunks so the kernel can skip their bodies entirely.
+    # Packed per-chunk metadata (tile << 2 | first << 1 | last): ONE
+    # scalar-prefetch operand instead of three — each extra prefetch array
+    # costs its own HBM->SMEM staging copy (~1.6ms at 44k chunks, measured).
+    # The sentinel tile id (== num_tiles) survives the shift so the kernel
+    # can skip fully-invalid trailing chunks entirely.
     chunk_tile = key_sorted[::chunk]
-    chunk_first = jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)])
+    change = (chunk_tile[1:] != chunk_tile[:-1]).astype(jnp.int32)
+    one = jnp.ones((1,), jnp.int32)
+    chunk_first = jnp.concatenate([one, change])
+    chunk_last = jnp.concatenate([change, one])
+    chunk_meta = (chunk_tile << 2) | (chunk_first << 1) | chunk_last
 
     used_sorted = (jnp.zeros((p + 1,), jnp.bool_)
                    .at[dup_rank].set(True, mode="drop")[:p])
     used = jnp.zeros((p,), jnp.bool_).at[order].set(used_sorted)
 
     return Binning(gid=gid_sorted, order=order, tile_of_slot=tile_of_slot,
-                   chunk_tile=chunk_tile, chunk_first=chunk_first,
+                   chunk_meta=chunk_meta,
                    tile_len=len_t, num_dup=num_dup, radius=radius, used=used)

@@ -49,10 +49,19 @@ class RasterizeSettings:
     # Inference mode: bf16 feature stream, background composited in-kernel,
     # no transmittance residual (final_t returns zeros), NOT differentiable.
     inference: bool = False
+    # Training-path image layout. "chw" skips the final [3,H,W]->[H,W,3]
+    # transpose: an HWC device array puts the 3-channel axis on lanes,
+    # which the TPU pads to 128 (42x the physical bytes for every
+    # downstream op AND its gradient). The fused train step consumes CHW;
+    # entry points that save images keep the default "hwc".
+    layout: str = "hwc"
 
 
 class RasterizeOutput(NamedTuple):
-    image: jnp.ndarray     # [H, W, 3] composited over background
+    image: jnp.ndarray     # [H, W, 3] f32 composited over background
+                           # (layout="chw": [3, H, W] f32); inference mode:
+                           # [3, H, W] bf16 (CHW — the reference layout,
+                           # rasterize_points.cu:69)
     radii: jnp.ndarray     # [P] int32 (0 => culled)
     is_used: jnp.ndarray   # [P] bool — Gaussian rasterized into >= 1 tile
     num_dup: jnp.ndarray   # [] int32 true duplicate count (check <= k_dup)
@@ -69,11 +78,12 @@ def _slot_features(proc, gid, order, dtype=jnp.float32):
     kernel streams. The quadratic-form expansion to local pixel coordinates
     happens INSIDE the Pallas kernel (tile_kernel._alphas) — in XLA it
     materialized as a dozen lane-padded refetch fusions.
-    Padding slots (gid == P) get all-zero rows => alpha 0 in the kernel.
+    Padding slots (gid == P) hit an appended ALL-ZERO table row => alpha 0
+    in the kernel (an explicit index-clamp + mask multiply measured +4.5ms
+    at 5.7M slots; the zero row keeps the gather's in-bounds fast path).
     The backward of the row gather is the per-gaussian scatter-add that
     replaces the reference's atomicAdd reduction (backward.cu:523-554).
     """
-    p = proc.xy.shape[0]
     table = jnp.stack([
         proc.xy[:, 0], proc.xy[:, 1],
         proc.conic[:, 0], proc.conic[:, 1], proc.conic[:, 2],
@@ -81,10 +91,9 @@ def _slot_features(proc, gid, order, dtype=jnp.float32):
     ], axis=1)[order]  # [P, 9] in depth order (differentiable)
 
     # casting BEFORE the big gather halves its HBM traffic (bf16 inference)
-    table = table.astype(dtype)
-    valid = (gid < p).astype(dtype)
-    rows = table[jnp.minimum(gid, p - 1)] * valid[:, None]  # [K_slots, 9]
-    return rows.T  # [9, K_slots] dense
+    table = jnp.concatenate(
+        [table.astype(dtype), jnp.zeros((1, 9), dtype)], axis=0)
+    return table[gid].T  # [9, K_slots] dense
 
 
 def rasterize(
@@ -110,27 +119,27 @@ def rasterize(
     binn = binning_lib.bin_gaussians(
         proc_ng, tile_x=s.tile_x, tile_y=s.tile_y,
         grid_x=grid_x, grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk,
+        align=tile_kernel.SUPER if s.inference else 1,
         interpret=s.interpret)
 
     feat = _slot_features(
         proc, binn.gid, binn.order,
         dtype=jnp.bfloat16 if s.inference else jnp.float32)
 
-    # Assemble tile-major buffers into the image.
+    # Assemble channel-major tile buffers [T, ch, n_pix] into [ch, H, W].
     def assemble(img_t, ch):
-        img = img_t.reshape(grid_y, grid_x, s.tile_y, s.tile_x, ch)
-        img = img.transpose(0, 2, 1, 3, 4)
-        img = img.reshape(grid_y * s.tile_y, grid_x * s.tile_x, ch)
-        return img[: camera.height, : camera.width]
+        img = img_t.reshape(grid_y, grid_x, ch, s.tile_y, s.tile_x)
+        img = img.transpose(2, 0, 3, 1, 4)
+        img = img.reshape(ch, grid_y * s.tile_y, grid_x * s.tile_x)
+        return img[:, : camera.height, : camera.width]
 
     if s.inference:
-        chunk_last = jnp.concatenate([
-            (binn.chunk_tile[1:] != binn.chunk_tile[:-1]).astype(jnp.int32),
-            jnp.ones((1,), jnp.int32)])
         c_img = tile_kernel.render_forward(
-            feat, binn.chunk_tile, binn.chunk_first,
-            chunk_last, jnp.asarray(bg, jnp.float32), num_tiles, n_pix,
-            s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret)
+            feat, binn.chunk_meta, jnp.asarray(bg, jnp.float32), num_tiles,
+            n_pix, s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret)
+        # CHW bf16 (the reference's output layout, rasterize_points.cu:69):
+        # an HWC device array puts the 3-channel axis on lanes, which the
+        # TPU pads to 128 — 42x the bytes for every downstream op.
         image = assemble(c_img, 3)
         final_t = jnp.zeros((camera.height, camera.width), jnp.float32)
         return RasterizeOutput(image=image, radii=binn.radius,
@@ -138,12 +147,15 @@ def rasterize(
                                final_t=final_t)
 
     c_img, t_img = tile_kernel.tile_blend(
-        feat, binn.chunk_tile, binn.chunk_first, num_tiles, n_pix,
+        feat, binn.chunk_meta, num_tiles, n_pix,
         s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret)
 
     color = assemble(c_img, 3)
-    final_t = assemble(t_img, 1)
-    image = color + final_t * jnp.asarray(bg, jnp.float32)
+    final_t = assemble(t_img, 1)[0]
+    image = color + final_t[None] * jnp.asarray(bg, jnp.float32)[:, None,
+                                                                 None]
+    if s.layout == "hwc":
+        image = image.transpose(1, 2, 0)
 
     return RasterizeOutput(image=image, radii=binn.radius, is_used=binn.used,
-                           num_dup=binn.num_dup, final_t=final_t[..., 0])
+                           num_dup=binn.num_dup, final_t=final_t)

@@ -66,14 +66,14 @@ def _blur_axis(img, g: np.ndarray, axis: int):
     return out
 
 
-def _filter2d(img, window_size: int):
-    """Depthwise 2D Gaussian conv with zero 'same' padding, img [H, W, C].
+def _filter2d(img, window_size: int, axes=(0, 1)):
+    """Depthwise 2D Gaussian conv with zero 'same' padding over ``axes``.
 
     The window is an outer product of a normalized 1D Gaussian
     (loss_utils.py:31-34), so the 2D conv separates into a vertical and a
     horizontal shifted-add pass — identical result, ~5x fewer taps."""
     g = _gaussian_1d(window_size)
-    return _blur_axis(_blur_axis(img, g, 0), g, 1)
+    return _blur_axis(_blur_axis(img, g, axes[0]), g, axes[1])
 
 
 def build_neighbor(xyz, num_knn: int = 20, weight_coef: float = 2000.0):
@@ -102,13 +102,20 @@ def arap_loss(xyz, paras, indices, weight_coef: float = 2000.0):
 
 
 def ssim(img1, img2, window_size: int = 11):
-    """Mean SSIM over the image, reference-identical windowing."""
-    mu1 = _filter2d(img1, window_size)
-    mu2 = _filter2d(img2, window_size)
+    """Mean SSIM over the image, reference-identical windowing.
+
+    Accepts [H, W, C] or channel-first [3, H, W] (the train steps run CHW:
+    a channels-minor image is lane-padded 3->128 on TPU, 42x the physical
+    bytes for every windowing pass and its gradient)."""
+    chw = img1.ndim == 3 and img1.shape[0] == 3 and img1.shape[-1] != 3
+    axes = (1, 2) if chw else (0, 1)
+    _filter2d_ = functools.partial(_filter2d, axes=axes)
+    mu1 = _filter2d_(img1, window_size)
+    mu2 = _filter2d_(img2, window_size)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _filter2d(img1 * img1, window_size) - mu1_sq
-    sigma2_sq = _filter2d(img2 * img2, window_size) - mu2_sq
-    sigma12 = _filter2d(img1 * img2, window_size) - mu1_mu2
+    sigma1_sq = _filter2d_(img1 * img1, window_size) - mu1_sq
+    sigma2_sq = _filter2d_(img2 * img2, window_size) - mu2_sq
+    sigma12 = _filter2d_(img1 * img2, window_size) - mu1_mu2
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

@@ -40,7 +40,13 @@ def masked_mean(x, mask, count):
 
 def make_train_step(opt: OptimizationConfig, settings: RasterizeSettings,
                     spatial_lr_scale: float):
-    """Build the jitted train step. Static over (sh_degree, camera W/H)."""
+    """Build the jitted train step. Static over (sh_degree, camera W/H).
+
+    The render + loss run channel-first ([3, H, W]): a channels-minor image
+    is lane-padded 3->128 on TPU, 42x the physical bytes for every loss op
+    and its gradient. ``gt_image`` must arrive CHW (the trainer transposes
+    the decoded numpy image once on host)."""
+    settings = dataclasses.replace(settings, layout="chw")
 
     @functools.partial(jax.jit, static_argnames=("sh_degree",),
                        donate_argnames=("state", "adam_state"))

@@ -9,6 +9,7 @@ active immature subset, per-birth-frame relocation and genesis-only growth.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -72,7 +73,11 @@ def make_swin_train_step(opt: OptimizationConfig,
     """arap_weights: optional (w_v, w_rotvec, w_rotcen) enabling the ARAP
     rigidity regularizer over the immature KNN graph (the reference ships it
     gated off, train_swin.py:34,183-200). When set, the step takes a
-    ``nbr_indices`` [C, K] neighbor array (rebuild periodically)."""
+    ``nbr_indices`` [C, K] neighbor array (rebuild periodically).
+
+    Render + loss run channel-first; ``gt_image`` must arrive [3, H, W]
+    (see step.py)."""
+    settings = dataclasses.replace(settings, layout="chw")
 
     @functools.partial(jax.jit, static_argnames=("sh_degree",),
                        donate_argnames=("state", "adam"))

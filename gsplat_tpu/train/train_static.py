@@ -150,7 +150,9 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                 c, g = viewpoint_stack.pop(
                     randint(0, len(viewpoint_stack) - 1)).load()
                 cams.append(c)
-                gts.append(jnp.asarray(g))
+                # CHW on host: the jitted steps run channel-first (step.py)
+                gts.append(jnp.asarray(np.ascontiguousarray(
+                    g.transpose(2, 0, 1))))
             state, adam, metrics = train_step(sh_degree)(
                 state, adam, k_step, stack_cameras(cams), jnp.stack(gts),
                 step_bg, jnp.asarray(iteration, jnp.float32))
@@ -160,8 +162,9 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
             cam_obj = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
             camera, gt = cam_obj.load()
             state, adam, metrics = train_step(
-                state, adam, k_step, camera, jnp.asarray(gt), step_bg,
-                jnp.asarray(iteration, jnp.float32), sh_degree)
+                state, adam, k_step, camera,
+                jnp.asarray(np.ascontiguousarray(gt.transpose(2, 0, 1))),
+                step_bg, jnp.asarray(iteration, jnp.float32), sh_degree)
         last_metrics = metrics
 
         if (opt.densify_from_iter < iteration < opt.densify_until_iter

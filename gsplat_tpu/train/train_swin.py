@@ -91,7 +91,9 @@ def train_slide_window(state, adam, scene: DynamicScene,
                 cam_obj = viewpoint_stack.pop()
                 camera, gt = cam_obj.load()
                 cam_list.append(camera)
-                gt_list.append(jnp.asarray(gt))
+                # CHW on host: the jitted steps run channel-first (step.py)
+                gt_list.append(jnp.asarray(np.ascontiguousarray(
+                    gt.transpose(2, 0, 1))))
                 frame_list.append(float(cam_obj.frame))
             # train_step is the lru-cached DP builder in this mode
             state, adam, m = train_step(sh_degree)(
@@ -106,8 +108,9 @@ def train_slide_window(state, adam, scene: DynamicScene,
             cam_obj = viewpoint_stack.pop()
             camera, gt = cam_obj.load()
             state, adam, m = train_step(
-                state, adam, k_step, camera, jnp.asarray(gt), bg,
-                jnp.asarray(it, jnp.float32),
+                state, adam, k_step, camera,
+                jnp.asarray(np.ascontiguousarray(gt.transpose(2, 0, 1))),
+                bg, jnp.asarray(it, jnp.float32),
                 jnp.asarray(float(cam_obj.frame)), sh_degree,
                 nbr_indices=nbr_indices)
 

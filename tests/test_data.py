@@ -149,6 +149,19 @@ def test_colmap_reader(tmp_path):
     assert cam.width == 16 and cam.height == 12
     assert os.path.exists(tmp_path / "out" / "cameras.json")
 
+    # Multi-scale camera sets (reference scene/__init__.py:31,74-80): each
+    # requested scale gets its own LazyCamera list, scale multiplying the
+    # resolution divisor.
+    ms = Scene(str(tmp_path), "", init_type="sfm", shuffle=False,
+               resolution_scales=[1.0, 2.0])
+    cam1, img1 = ms.get_train_cameras(1.0)[0].load()
+    cam2, img2 = ms.get_train_cameras(2.0)[0].load()
+    assert img1.shape == (12, 16, 3)
+    assert img2.shape == (6, 8, 3)
+    assert cam2.width == 8 and cam2.height == 6
+    assert ms.train_cameras is ms.get_train_cameras(1.0)
+    assert len(ms.get_test_cameras(2.0)) == len(ms.get_test_cameras(1.0))
+
 
 def _make_swings_fixture(root, n_cams=3, n_frames=4):
     cam_json = {}

@@ -1,6 +1,8 @@
 """Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4(f)):
 data-parallel training step == single-device step over the same batch."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,10 +48,12 @@ def test_dp_train_step_runs_and_matches_mean_grad():
     adam = optim.init(state.params())
 
     cams = _cams(n_dev)
+    # DP steps consume channel-first gt ([n_dev, 3, H, W], see step.py)
+    chw = dataclasses.replace(SETTINGS, layout="chw")
     gts = jnp.stack([
         rasterize(state.xyz, state.get_scaling(), state.get_rotation(),
                   state.get_opacity()[:, 0], state.get_features(), c, SH,
-                  BG, SETTINGS, alive=state.alive_mask).image * 0.5
+                  BG, chw, alive=state.alive_mask).image * 0.5
         for c in cams])
     cam_batch = stack_cameras(cams)
 
@@ -71,7 +75,7 @@ def test_dp_train_step_runs_and_matches_mean_grad():
         s = state.replace_params(params)
         out = rasterize(s.xyz, s.get_scaling(), s.get_rotation(),
                         s.get_opacity()[:, 0], s.get_features(), cam, SH,
-                        BG, SETTINGS, alive=s.alive_mask)
+                        BG, chw, alive=s.alive_mask)
         ll1 = losses.l1_loss(out.image, gt)
         lssim = losses.ssim(out.image, gt)
         loss = (1 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1 - lssim)
@@ -203,7 +207,7 @@ def test_pshard_train_step_matches_replicated():
                                  interpret=True)
     state = _mini_state()
     cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, 48, 32)
-    gt = jnp.full((32, 48, 3), 0.5)
+    gt = jnp.full((3, 32, 48), 0.5)  # channel-first (see step.py)
 
     ref_step = step_lib.make_train_step(opt, settings, spatial_lr_scale=1.0)
     state_in = jax.tree.map(jnp.copy, state)  # ref_step donates its args
@@ -244,7 +248,7 @@ def test_dp_swin_step_matches_single_device():
                                  interpret=True)
     state = _make_swin_state(n=32, capacity=64)
     cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, 48, 32)
-    gt = jnp.full((32, 48, 3), 0.4)
+    gt = jnp.full((3, 32, 48), 0.4)  # channel-first (see step.py)
     bg = jnp.zeros(3)
     key = jax.random.PRNGKey(11)
 

@@ -158,7 +158,10 @@ def test_inference_path_matches_training_path():
                         inf)
     # bf16 features round the conic at steep edges; gate on image PSNR
     # (>= 40 dB == visually identical) plus a tight mean error.
-    diff = np.asarray(out_inf.image) - np.asarray(out.image)
+    # Inference images are CHW bf16 (the reference layout).
+    assert out_inf.image.shape == (3,) + out.image.shape[:2]
+    inf_hwc = np.asarray(out_inf.image, dtype=np.float32).transpose(1, 2, 0)
+    diff = inf_hwc - np.asarray(out.image)
     psnr = -10.0 * np.log10(np.mean(diff ** 2) + 1e-12)
     assert psnr >= 40.0, f"inference path PSNR {psnr:.1f} dB"
     assert np.abs(diff).mean() < 5e-3

@@ -58,7 +58,9 @@ def _gt_scene(p=24, seed=3):
 def test_training_improves_psnr():
     cams = _orbit_cameras(6)
     gt_params = _gt_scene()
-    gts = [rasterize(*gt_params, c, SH_DEGREE, BG, SETTINGS).image
+    # train steps consume channel-first gt (see step.py)
+    chw = dataclasses.replace(SETTINGS, layout="chw")
+    gts = [rasterize(*gt_params, c, SH_DEGREE, BG, chw).image
            for c in cams]
 
     rng = np.random.default_rng(0)
@@ -79,7 +81,7 @@ def test_training_improves_psnr():
 
     def mean_psnr(st):
         return float(np.mean([
-            float(eval_step(st, c, g, BG, SH_DEGREE)[2])
+            float(eval_step(st, c, g.transpose(1, 2, 0), BG, SH_DEGREE)[2])
             for c, g in zip(cams, gts)]))
 
     psnr0 = mean_psnr(state)
