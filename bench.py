@@ -141,30 +141,37 @@ def main():
         f"{settings.k_dup}")
     its = statistics.median(win_rates)
 
-    # --- render stage: inference path, 1920x1088 ---
+    # --- render stage: inference path, 1920x1088, 64x32 tiles ---
+    # Distinct cameras per frame: the axon runtime can memoize identical
+    # executions, so timing one repeated camera over-reports (the round-1
+    # driver capture was 76x off for exactly this class of artifact).
     rw, rh = (256, 128) if on_cpu else (1920, 1088)
     rscene = _make_scene(p_model if not on_cpu else 1000, sh, seed=0)
-    rcam = _orbit_cameras(1, rw, rh)[0]
-    rsettings = dataclasses.replace(settings, k_dup=8 * p_model,
-                                    inference=True)
-    rprobe = jax.jit(lambda ps: rasterize(*ps, rcam, sh, bg,
-                                          rsettings).num_dup)
+    rcams = _orbit_cameras(8, rw, rh)
     rsettings = dataclasses.replace(
-        rsettings, k_dup=probe_k_dup(rprobe, rscene, rsettings.chunk))
-    log(f"render dup budget {rsettings.k_dup}")
-    render = jax.jit(lambda ps: rasterize(*ps, rcam, sh, bg,
-                                          rsettings).image)
-    img = render(rscene)
+        settings, k_dup=8 * p_model, inference=True,
+        tile_x=32 if on_cpu else 64, tile_y=16 if on_cpu else 32)
+    rprobe = jax.jit(lambda ps, c: rasterize(*ps, c, sh, bg,
+                                             rsettings).num_dup)
+    rneed = max(int(rprobe(rscene, c)) for c in rcams)
+    ralign = rsettings.chunk * 8  # chunk * SUPER (render kernel grid unit)
+    rsettings = dataclasses.replace(
+        rsettings, k_dup=-(-int(rneed * 1.1) // ralign) * ralign)
+    log(f"render dup budget {rsettings.k_dup} (need {rneed})")
+    render = jax.jit(lambda ps, c: rasterize(*ps, c, sh, bg,
+                                             rsettings).image)
+    for c in rcams:
+        img = render(rscene, c)
     jax.block_until_ready(img)
-    nframes = 2 if on_cpu else 20
+    nframes = 2 if on_cpu else 16
     fps_windows = []
     for _ in range(3):
         t0 = time.time()
-        for _ in range(nframes):
-            img = render(rscene)
+        for i in range(nframes):
+            img = render(rscene, rcams[i % len(rcams)])
         jax.block_until_ready(img)
         fps_windows.append(nframes / (time.time() - t0))
-    img_host = np.asarray(img)
+    img_host = np.asarray(img.astype(jnp.float32))
     assert np.isfinite(img_host).all() and img_host.max() > 0.05, (
         "render produced a degenerate image")
     fps = statistics.median(fps_windows)
@@ -183,7 +190,7 @@ def main():
                    "windows_it_per_s": [round(r, 2) for r in win_rates],
                    "render_fps_1080p": round(fps, 1),
                    "render_image": f"{rw}x{rh}",
-                   "render_num_dup": int(rprobe(rscene)),
+                   "render_num_dup": rneed,
                    "render_ms": round(1000.0 / fps, 2)},
     }))
 

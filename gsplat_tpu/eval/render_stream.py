@@ -57,7 +57,10 @@ def render_stream_frame(data, camera, frame: float, bg, settings,
         xyz, jnp.exp(jnp.asarray(data["scaling"])), normalize(rot),
         jax.nn.sigmoid(jnp.asarray(data["opacity"]))[:, 0], shs, camera,
         int(data["sh_degree"]), bg, settings, alive=active)
-    return jnp.clip(out.image, 0.0, 1.0)
+    img = out.image
+    if settings.inference:  # CHW bf16 fast path -> [H, W, 3] f32
+        img = img.astype(jnp.float32).transpose(1, 2, 0)
+    return jnp.clip(img, 0.0, 1.0)
 
 
 def main(argv=None):
@@ -81,8 +84,10 @@ def main(argv=None):
     bg = jnp.asarray([1.0, 1.0, 1.0] if args.white_background
                      else [0.0, 0.0, 0.0])
     k_dup = args.dup_budget or max(8 * n, 1 << 16)
+    # playback is pure inference: bf16 fast path, 64x32 tiles
     settings = RasterizeSettings(
-        k_dup=-(-k_dup // 128) * 128,
+        k_dup=-(-k_dup // 128) * 128, inference=True,
+        tile_x=64, tile_y=32,
         interpret=jax.default_backend() == "cpu")
     render_jit = jax.jit(lambda cam, f: render_stream_frame(
         data, cam, f, bg, settings))

@@ -258,9 +258,11 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     chunk_last = jnp.concatenate([change, one])
     chunk_meta = (chunk_tile << 2) | (chunk_first << 1) | chunk_last
 
-    used_sorted = (jnp.zeros((p + 1,), jnp.bool_)
-                   .at[dup_rank].set(True, mode="drop")[:p])
-    used = jnp.zeros((p,), jnp.bool_).at[order].set(used_sorted)
+    # ``used`` derives elementwise in [P]-space (a gaussian is used iff its
+    # whole rect fits the budget == exactly the in_budget rule) — the
+    # round-1 K-sized scatter from dup_rank paid ~9ns per SLOT for a fact
+    # already known per gaussian.
+    used = jnp.zeros((p,), jnp.bool_).at[order].set(fits)
 
     return Binning(gid=gid_sorted, order=order, tile_of_slot=tile_of_slot,
                    chunk_meta=chunk_meta,

@@ -48,8 +48,12 @@ def main(argv=None):
 
     @functools.lru_cache(maxsize=8)
     def render_fn(width, height):
+        # Inference path: bf16 feature stream, 64x32 tiles (fewer tile
+        # duplicates), background composited in-kernel — the interactive
+        # fast path; output converted back to [H, W, 3] f32 for the wire.
         settings = RasterizeSettings(
-            k_dup=k_dup, interpret=interpret)
+            k_dup=k_dup, interpret=interpret, inference=True,
+            tile_x=64, tile_y=32)
 
         @jax.jit
         def f(camera, scaling_modifier):
@@ -59,7 +63,8 @@ def main(argv=None):
                             state.max_sh_degree, jnp.zeros(3), settings,
                             scale_modifier=scaling_modifier,
                             alive=state.alive_mask)
-            return jnp.clip(out.image, 0.0, 1.0)
+            img = out.image.astype(jnp.float32).transpose(1, 2, 0)
+            return jnp.clip(img, 0.0, 1.0)
 
         return f
 
