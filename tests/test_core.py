@@ -198,3 +198,10 @@ def test_ssim_matches_torch_reference():
     ref = float(torch_ssim(torch.tensor(a).permute(2, 0, 1)[None],
                            torch.tensor(b).permute(2, 0, 1)[None]))
     assert abs(ours - ref) < 2e-6
+
+    # channel-first input (the train steps' layout) is value-identical
+    from gsplat_tpu.train.losses import ssim as _ssim
+
+    chw = float(_ssim(jnp.asarray(a).transpose(2, 0, 1),
+                      jnp.asarray(b).transpose(2, 0, 1)))
+    assert abs(chw - ours) < 1e-6
