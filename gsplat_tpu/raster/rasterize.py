@@ -119,7 +119,7 @@ def rasterize(
     binn = binning_lib.bin_gaussians(
         proc_ng, tile_x=s.tile_x, tile_y=s.tile_y,
         grid_x=grid_x, grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk,
-        align=tile_kernel.SUPER if s.inference else 1,
+        align=tile_kernel.SUPER,  # both kernels walk SUPER chunks per step
         interpret=s.interpret)
 
     feat = _slot_features(

@@ -94,6 +94,7 @@ T_EPS = 1e-4
 NUM_FEAT = 9   # raw feature rows (x, y, a, b, c, opa, rgb)
 SUPER = 8      # sub-chunks per render-kernel grid step
 CPAD = 4       # inference image channel padding (bf16 DMA slice alignment)
+CTPAD = 8      # training packed color+T rows (f32 DMA sublane alignment)
 
 
 def _basis_t(n_pix: int, tile_x: int):
@@ -218,36 +219,94 @@ def _decode(chunk_meta, k):
     return meta >> 2, (meta >> 1) & 1, meta & 1  # tile, first, last
 
 
-def _fwd_kernel(chunk_meta, feat_ref, c_init_ref, t_init_ref,
-                c_ref, t_ref, tcar_ref,
+def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref,
+                acc_ref, tcar_ref, stage_ref, live_ref, busy_ref, pend_ref,
+                sems,
                 *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
-                num_tiles: int):
-    del c_init_ref, t_init_ref  # alias-initialized outputs; never read here
+                num_tiles: int, chunk: int):
+    """Training forward, SUPER sub-chunks per grid step (per-grid-step
+    overhead — DMA issue + bookkeeping — measured ~0.3 us/chunk; SUPER
+    amortizes it 8x). Full training semantics (saturation freeze via
+    ``_alphas``), f32 accumulation in scratch; finished tiles flush a
+    packed (CTPAD, n_pix) block — rows 0..2 color, row 3 transmittance,
+    rows 4..7 sublane-alignment padding — with double-buffered async DMAs.
+    """
+    del ct_init_ref  # alias-initialized output; never read here
     k = pl.program_id(0)
-    tile, first, _ = _decode(chunk_meta, k)
-    ox = ((tile % grid_x) * tile_x).astype(jnp.float32)
-    oy = ((tile // grid_x) * tile_y).astype(jnp.float32)
-    is_real = tile < num_tiles  # trailing sentinel chunks: no-op
+    n_blk = pl.num_programs(0)
 
-    @pl.when(is_real & (first != 0))
+    # SMEM scratch is NOT zero-initialized on hardware (interpret mode
+    # zeroes it): garbage busy flags would wait on never-signaled DMA
+    # semaphores and hang the device.
+    @pl.when(k == 0)
     def _():
-        c_ref[...] = jnp.zeros_like(c_ref)
-        tcar_ref[...] = jnp.ones_like(tcar_ref)
-        t_ref[...] = jnp.ones_like(t_ref)
+        busy_ref[0] = 0
+        busy_ref[1] = 0
+        busy_ref[2] = 0
 
-    # Early exit: if every pixel in this tile is saturated (T <= eps), later
-    # chunks contribute nothing (the tile-level form of forward.cu:310-312).
-    @pl.when(is_real & (jnp.max(tcar_ref[...]) > T_EPS))
+    def flush(tile):
+        slot = busy_ref[2] % 2
+
+        @pl.when(busy_ref[slot] != 0)
+        def _():
+            pltpu.make_async_copy(
+                stage_ref.at[slot], ct_ref.at[pl.ds(pend_ref[slot], 1)],
+                sems.at[slot]).wait()
+        pad = jnp.zeros((CTPAD - 4, n_pix), jnp.float32)
+        stage_ref[slot] = jnp.concatenate(
+            [acc_ref[...], tcar_ref[...], pad], axis=0)[None]
+        pltpu.make_async_copy(
+            stage_ref.at[slot], ct_ref.at[pl.ds(tile, 1)],
+            sems.at[slot]).start()
+        busy_ref[slot] = 1
+        pend_ref[slot] = tile
+        busy_ref[2] = busy_ref[2] + 1
+
+    for j in range(SUPER):
+        tile, first, last = _decode(chunk_meta, k * SUPER + j)
+        ox = ((tile % grid_x) * tile_x).astype(jnp.float32)
+        oy = ((tile // grid_x) * tile_y).astype(jnp.float32)
+        is_real = tile < num_tiles  # trailing sentinel chunks: no-op
+
+        @pl.when(is_real & (first != 0))
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            tcar_ref[...] = jnp.ones_like(tcar_ref)
+            live_ref[0] = 1
+
+        # Early exit: if every pixel in this tile is saturated (T <= eps),
+        # later chunks contribute nothing (tile-level forward.cu:310-312).
+        @pl.when(is_real & (live_ref[0] != 0))
+        def _(j=j, ox=ox, oy=oy):
+            basis_t = _basis_t(n_pix, tile_x)
+            v = _alphas(feat_ref[:, j * chunk:(j + 1) * chunk], basis_t,
+                        tcar_ref[...], ox, oy)
+            # C[ch, p] += sum_g rgb[ch, g] * w[g, p]  — MXU matmul with the
+            # 3-channel axis on sublanes (pad 3->8, not 3->128).
+            contrib = lax.dot_general(v["rgb"], v["w"],
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            acc_ref[...] = acc_ref[...] + contrib
+            t_new = v["t_new"]
+            tcar_ref[...] = t_new
+            live_ref[0] = (jnp.max(t_new) > T_EPS).astype(jnp.int32)
+
+        @pl.when(is_real & (last != 0))
+        def _():
+            flush(tile)
+
+    # Drain outstanding flushes on the final grid step (sentinel padding
+    # guarantees it executes; Pallas requires DMAs complete before exit).
+    @pl.when(k == n_blk - 1)
     def _():
-        basis_t = _basis_t(n_pix, tile_x)
-        v = _alphas(feat_ref[...], basis_t, tcar_ref[0], ox, oy)
-        # C[ch, p] += sum_g rgb[ch, g] * w[g, p]  — MXU matmul with the
-        # 3-channel axis on sublanes (pad 3->8, not 3->128).
-        contrib = lax.dot_general(v["rgb"], v["w"], (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        c_ref[...] = c_ref[...] + contrib[None]
-        tcar_ref[...] = v["t_new"][None]
-        t_ref[...] = v["t_new"][None]
+        for slot in range(2):
+            @pl.when(busy_ref[slot] != 0)
+            def _(slot=slot):
+                pltpu.make_async_copy(
+                    stage_ref.at[slot],
+                    ct_ref.at[pl.ds(pend_ref[slot], 1)],
+                    sems.at[slot]).wait()
+                busy_ref[slot] = 0
 
 
 def _bwd_kernel(chunk_meta, feat_ref, cres_ref, tres_ref,
@@ -341,31 +400,41 @@ def _common_specs(chunk: int, n_pix: int, num_tiles: int):
 def _forward(feat, chunk_meta, num_tiles: int, n_pix: int,
              tile_x: int, tile_y: int, grid_x: int, chunk: int,
              interpret: bool):
-    feat_spec, img_spec, t_spec = _common_specs(chunk, n_pix, num_tiles)
-    # Empty tiles get no kernel chunks; their output blocks come from these
-    # alias-donated init buffers (background: C=0, T=1) — no patching pass.
-    c_init = jnp.zeros((num_tiles, 3, n_pix), jnp.float32)
-    t_init = jnp.ones((num_tiles, 1, n_pix), jnp.float32)
+    assert feat.shape[1] % (chunk * SUPER) == 0, feat.shape
+    feat_spec = pl.BlockSpec((NUM_FEAT, chunk * SUPER),
+                             lambda k, cm: (0, k), memory_space=pltpu.VMEM)
+    # Empty tiles get no kernel chunks; their output blocks come from this
+    # alias-donated init buffer (background: C=0, T=1) — no patching pass.
+    ct_init = jnp.zeros((num_tiles, CTPAD, n_pix), jnp.float32
+                        ).at[:, 3].set(1.0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(feat.shape[1] // chunk,),
-        in_specs=[feat_spec, any_spec, any_spec],
-        out_specs=[img_spec, t_spec],
-        scratch_shapes=[pltpu.VMEM((1, 1, n_pix), jnp.float32)],
+        grid=(feat.shape[1] // (chunk * SUPER),),
+        in_specs=[feat_spec, any_spec],
+        out_specs=[any_spec],
+        scratch_shapes=[
+            pltpu.VMEM((3, n_pix), jnp.float32),          # acc
+            pltpu.VMEM((1, n_pix), jnp.float32),          # tcar
+            pltpu.VMEM((2, 1, CTPAD, n_pix), jnp.float32),  # DMA stage x2
+            pltpu.SMEM((1,), jnp.int32),                  # live flag
+            pltpu.SMEM((3,), jnp.int32),                  # busy x2 + ctr
+            pltpu.SMEM((2,), jnp.int32),                  # pending tile
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
-    out_shape = [
-        jax.ShapeDtypeStruct((num_tiles, 3, n_pix), jnp.float32),
-        jax.ShapeDtypeStruct((num_tiles, 1, n_pix), jnp.float32),
-    ]
     kernel = functools.partial(_fwd_kernel, n_pix=n_pix, tile_x=tile_x,
                                tile_y=tile_y, grid_x=grid_x,
-                               num_tiles=num_tiles)
-    c_img, t_img = pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-        input_output_aliases={2: 0, 3: 1},  # (cm, feat, c_init, t_init)
-    )(chunk_meta, feat, c_init, t_init)
-    return c_img, t_img
+                               num_tiles=num_tiles, chunk=chunk)
+    (ct,) = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, CTPAD, n_pix),
+                                        jnp.float32)],
+        interpret=interpret,
+        input_output_aliases={2: 0},  # (cm, feat, ct_init)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(chunk_meta, feat, ct_init)
+    return ct[:, 0:3], ct[:, 3:4]
 
 
 def _render_kernel(chunk_meta, feat_ref, bg_ref, c_init_ref, c_ref,

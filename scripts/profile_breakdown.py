@@ -48,7 +48,7 @@ def main():
         probe = jax.jit(lambda ps, s=s, cam=cam: rasterize(
             *ps, cam, sh, bg, s).num_dup)
         need = int(probe(scene))
-        align = s.chunk * (tile_kernel.SUPER if inference else 1)
+        align = s.chunk * tile_kernel.SUPER
         k_dup = -(-need * 13 // 10 // align) * align
         s = dataclasses.replace(s, k_dup=k_dup)
         grid_x = -(-w // s.tile_x)
@@ -63,7 +63,7 @@ def main():
         binf = jax.jit(lambda: binning_lib.bin_gaussians(
             proc, tile_x=s.tile_x, tile_y=s.tile_y, grid_x=grid_x,
             grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk,
-            align=tile_kernel.SUPER if inference else 1))
+            align=tile_kernel.SUPER))
         binn = binf()
 
         dt = jnp.bfloat16 if inference else jnp.float32
