@@ -63,7 +63,7 @@ def main():
     p_gt, p_model, w, h, wit = ((500, 1000, 128, 128, 2) if on_cpu
                                 else (20_000, 100_000, 800, 800, 20))
     import os
-    tx = int(os.environ.get("BENCH_TILE_X", 32))
+    tx = int(os.environ.get("BENCH_TILE_X", 64))
     ty = int(os.environ.get("BENCH_TILE_Y", 16))
     settings = RasterizeSettings(
         k_dup=(1 << 15) if on_cpu else 8 * p_model, tile_x=tx, tile_y=ty,
