@@ -141,7 +141,7 @@ def main():
         f"{settings.k_dup}")
     its = statistics.median(win_rates)
 
-    # --- render stage: inference path, 1920x1088, 64x32 tiles ---
+    # --- render stage: inference path, 1920x1088, 128x32 tiles ---
     # Distinct cameras per frame: the axon runtime can memoize identical
     # executions, so timing one repeated camera over-reports (the round-1
     # driver capture was 76x off for exactly this class of artifact).
@@ -150,7 +150,7 @@ def main():
     rcams = _orbit_cameras(8, rw, rh)
     rsettings = dataclasses.replace(
         settings, k_dup=8 * p_model, inference=True,
-        tile_x=32 if on_cpu else 64, tile_y=16 if on_cpu else 32)
+        tile_x=32 if on_cpu else 128, tile_y=16 if on_cpu else 32)
     rprobe = jax.jit(lambda ps, c: rasterize(*ps, c, sh, bg,
                                              rsettings).num_dup)
     rneed = max(int(rprobe(rscene, c)) for c in rcams)

@@ -84,10 +84,10 @@ def main(argv=None):
     bg = jnp.asarray([1.0, 1.0, 1.0] if args.white_background
                      else [0.0, 0.0, 0.0])
     k_dup = args.dup_budget or max(8 * n, 1 << 16)
-    # playback is pure inference: bf16 fast path, 64x32 tiles
+    # playback is pure inference: bf16 fast path, 128x32 tiles
     settings = RasterizeSettings(
         k_dup=-(-k_dup // 128) * 128, inference=True,
-        tile_x=64, tile_y=32,
+        tile_x=128, tile_y=32,
         interpret=jax.default_backend() == "cpu")
     render_jit = jax.jit(lambda cam, f: render_stream_frame(
         data, cam, f, bg, settings))

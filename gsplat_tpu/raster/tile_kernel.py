@@ -309,8 +309,8 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref,
                 busy_ref[slot] = 0
 
 
-def _bwd_kernel(chunk_meta, feat_ref, cres_ref, tres_ref,
-                dc_ref, dt_ref, dfeat_ref, tcar_ref, accum_ref,
+def _bwd_kernel(chunk_meta, feat_ref, ct_ref, dct_ref,
+                dfeat_ref, tcar_ref, accum_ref,
                 *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
                 num_tiles: int):
     k = pl.program_id(0)
@@ -331,10 +331,11 @@ def _bwd_kernel(chunk_meta, feat_ref, cres_ref, tres_ref,
         basis_t = _basis_t(n_pix, tile_x)
         feat = feat_ref[...]
         v = _alphas(feat, basis_t, tcar_ref[0], ox, oy)
-        dc = dc_ref[0]      # (3, N_PIX)
-        dt = dt_ref[0]      # (1, N_PIX)
-        cres = cres_ref[0]  # (3, N_PIX)
-        tres = tres_ref[0]  # (1, N_PIX)
+        # packed residual/cotangent blocks: rows 0-2 color, row 3 T
+        dc = dct_ref[0, 0:3]    # (3, N_PIX)
+        dt = dct_ref[0, 3:4]    # (1, N_PIX)
+        cres = ct_ref[0, 0:3]   # (3, N_PIX)
+        tres = ct_ref[0, 3:4]   # (1, N_PIX)
 
         # Per-pixel total downstream dot: D = <dC, C_final> + dT * T_final.
         d_tot = jnp.sum(dc * cres, axis=0, keepdims=True) + dt * tres
@@ -392,9 +393,9 @@ def _common_specs(chunk: int, n_pix: int, num_tiles: int):
 
     feat_spec = pl.BlockSpec((NUM_FEAT, chunk), lambda k, cm: (0, k),
                              memory_space=pltpu.VMEM)
-    img_spec = pl.BlockSpec((1, 3, n_pix), tile_ix, memory_space=pltpu.VMEM)
-    t_spec = pl.BlockSpec((1, 1, n_pix), tile_ix, memory_space=pltpu.VMEM)
-    return feat_spec, img_spec, t_spec
+    ct_spec = pl.BlockSpec((1, CTPAD, n_pix), tile_ix,
+                           memory_space=pltpu.VMEM)
+    return feat_spec, ct_spec
 
 
 def _forward(feat, chunk_meta, num_tiles: int, n_pix: int,
@@ -434,7 +435,7 @@ def _forward(feat, chunk_meta, num_tiles: int, n_pix: int,
         input_output_aliases={2: 0},  # (cm, feat, ct_init)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(chunk_meta, feat, ct_init)
-    return ct[:, 0:3], ct[:, 3:4]
+    return ct
 
 
 def _render_kernel(chunk_meta, feat_ref, bg_ref, c_init_ref, c_ref,
@@ -587,16 +588,16 @@ def render_forward(feat, chunk_meta, bg, num_tiles: int, n_pix: int,
     return c_img[:, :3]
 
 
-def _backward(feat, chunk_meta, c_img, t_img, dc, dt,
+def _backward(feat, chunk_meta, ct, dct,
               num_tiles: int, n_pix: int, tile_x: int, tile_y: int,
               grid_x: int, chunk: int, interpret: bool):
-    feat_spec, img_spec, t_spec = _common_specs(chunk, n_pix, num_tiles)
+    feat_spec, ct_spec = _common_specs(chunk, n_pix, num_tiles)
     dfeat_spec = pl.BlockSpec((NUM_FEAT, chunk), lambda k, cm: (0, k),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(feat.shape[1] // chunk,),
-        in_specs=[feat_spec, img_spec, t_spec, img_spec, t_spec],
+        in_specs=[feat_spec, ct_spec, ct_spec],
         out_specs=[dfeat_spec],
         scratch_shapes=[pltpu.VMEM((1, 1, n_pix), jnp.float32),
                         pltpu.VMEM((1, 1, n_pix), jnp.float32)],
@@ -608,19 +609,52 @@ def _backward(feat, chunk_meta, c_img, t_img, dc, dt,
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(feat.shape, jnp.float32)],
         interpret=interpret,
-    )(chunk_meta, feat, c_img, t_img, dc, dt)
+    )(chunk_meta, feat, ct, dct)
     return dfeat
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _tile_blend_packed(feat, chunk_meta, num_tiles: int, n_pix: int,
+                       tile_x: int, tile_y: int, grid_x: int, chunk: int,
+                       interpret: bool = False):
+    """Packed-output core: [num_tiles, CTPAD, n_pix] (rows 0-2 color,
+    row 3 transmittance, 4-7 alignment padding). Differentiating the
+    PACKED array keeps the backward kernel at two block operands (ct,
+    dct) instead of four — the cotangents of the caller's slices merge
+    into one zero-padded buffer for free."""
+    return _forward(feat, chunk_meta, num_tiles, n_pix, tile_x,
+                    tile_y, grid_x, chunk, interpret)
+
+
+def _tile_blend_fwd(feat, chunk_meta, num_tiles, n_pix, tile_x,
+                    tile_y, grid_x, chunk, interpret):
+    ct = _forward(feat, chunk_meta, num_tiles, n_pix,
+                  tile_x, tile_y, grid_x, chunk, interpret)
+    return ct, (feat, chunk_meta, ct)
+
+
+def _tile_blend_bwd(num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
+                    interpret, res, dct):
+    feat, chunk_meta, ct = res
+    dfeat = _backward(feat, chunk_meta, ct, dct,
+                      num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
+                      interpret)
+    zero_i = np.zeros(chunk_meta.shape, dtype=jax.dtypes.float0)
+    return (dfeat, zero_i)
+
+
+_tile_blend_packed.defvjp(_tile_blend_fwd, _tile_blend_bwd)
+
+
 def tile_blend(feat, chunk_meta, num_tiles: int, n_pix: int,
                tile_x: int, tile_y: int, grid_x: int, chunk: int,
                interpret: bool = False):
     """Composite padded duplicate lists into per-tile pixel blocks.
 
     Args:
-      feat: [NUM_FEAT, K_padded] f32, K_padded a multiple of ``chunk``; each
-        tile's duplicates contiguous, depth-sorted, zero rows as padding.
+      feat: [NUM_FEAT, K_padded] f32, K_padded a multiple of
+        ``chunk * SUPER``; each tile's duplicates contiguous, depth-sorted,
+        zero rows as padding.
       chunk_meta: [K_padded // chunk] int32 packed
         ``tile_id << 2 | is_first << 1 | is_last`` per chunk (tile ids
         non-decreasing; sentinel chunks carry tile_id == num_tiles).
@@ -628,26 +662,6 @@ def tile_blend(feat, chunk_meta, num_tiles: int, n_pix: int,
       (color [num_tiles, 3, n_pix] — premultiplied, no background,
        transmittance [num_tiles, 1, n_pix]).
     """
-    return _forward(feat, chunk_meta, num_tiles, n_pix, tile_x,
-                    tile_y, grid_x, chunk, interpret)
-
-
-def _tile_blend_fwd(feat, chunk_meta, num_tiles, n_pix, tile_x,
-                    tile_y, grid_x, chunk, interpret):
-    c_img, t_img = _forward(feat, chunk_meta, num_tiles, n_pix,
-                            tile_x, tile_y, grid_x, chunk, interpret)
-    return (c_img, t_img), (feat, chunk_meta, c_img, t_img)
-
-
-def _tile_blend_bwd(num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
-                    interpret, res, grads):
-    feat, chunk_meta, c_img, t_img = res
-    dc, dt = grads
-    dfeat = _backward(feat, chunk_meta, c_img, t_img, dc, dt,
-                      num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
-                      interpret)
-    zero_i = np.zeros(chunk_meta.shape, dtype=jax.dtypes.float0)
-    return (dfeat, zero_i)
-
-
-tile_blend.defvjp(_tile_blend_fwd, _tile_blend_bwd)
+    ct = _tile_blend_packed(feat, chunk_meta, num_tiles, n_pix, tile_x,
+                            tile_y, grid_x, chunk, interpret)
+    return ct[:, 0:3], ct[:, 3:4]

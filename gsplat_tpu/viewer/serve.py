@@ -48,12 +48,12 @@ def main(argv=None):
 
     @functools.lru_cache(maxsize=8)
     def render_fn(width, height):
-        # Inference path: bf16 feature stream, 64x32 tiles (fewer tile
+        # Inference path: bf16 feature stream, 128x32 tiles (fewer tile
         # duplicates), background composited in-kernel — the interactive
         # fast path; output converted back to [H, W, 3] f32 for the wire.
         settings = RasterizeSettings(
             k_dup=k_dup, interpret=interpret, inference=True,
-            tile_x=64, tile_y=32)
+            tile_x=128, tile_y=32)
 
         @jax.jit
         def f(camera, scaling_modifier):

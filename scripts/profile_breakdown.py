@@ -98,14 +98,14 @@ def main():
                 return jnp.sum(rasterize(*ps, cam, sh, bg, s).image)
             g = jax.jit(jax.grad(loss))
             print(f"  FULL fwd+bwd     {timeit(g, scene):8.2f} ms")
-            # kernel-only backward
-            c_img, t_img = kern()
-            dc = jnp.ones_like(c_img)
-            dtg = jnp.zeros_like(t_img)
+            # kernel-only backward (packed residual/cotangent blocks)
+            ct = tile_kernel._tile_blend_packed(
+                feat, binn.chunk_meta, num_tiles, n_pix,
+                s.tile_x, s.tile_y, grid_x, s.chunk, False)
+            dct = jnp.ones_like(ct)
             kb = jax.jit(lambda: tile_kernel._backward(
-                feat, binn.chunk_meta, c_img, t_img, dc,
-                dtg, num_tiles, n_pix, s.tile_x, s.tile_y, grid_x, s.chunk,
-                False))
+                feat, binn.chunk_meta, ct, dct, num_tiles, n_pix,
+                s.tile_x, s.tile_y, grid_x, s.chunk, False))
             print(f"  tile kernel bwd  {timeit(kb):8.2f} ms")
 
 
