@@ -3,10 +3,14 @@
 TPU-native replacement for the simple-knn CUDA extension
 (submodules/simple-knn/simple_knn.cu:185-221, spatial.cu:15-26): the
 reference computes, per point, the mean squared distance to its 3 nearest
-neighbors via Morton-sorted boxes. Here we compute it EXACTLY with a blocked
-distance matrix: the -2<x,y> cross term is an MXU matmul and a top-3 running
-minimum is carried across column blocks with lax.scan — O(P^2) flops but
-one-time at init and MXU-friendly (~seconds for 300k sfm points).
+neighbors via Morton-sorted boxes. Here we compute it EXACTLY with a
+double-blocked distance matrix: the -2<x,y> cross term is an MXU matmul
+and a top-k running minimum is carried across column blocks with lax.scan.
+O(P^2) flops but one-time at init and MXU-friendly.
+
+BOTH axes are blocked: a row-blocked-only version materializes an
+[P, block] slab per step — 8 GB at the reference's 1M-cap gate config,
+which crashes the chip. [block, block] slabs keep peak memory flat.
 """
 
 from __future__ import annotations
@@ -18,85 +22,145 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _blocked_topk_neg_d2(pts, sq, p: int, block: int, k: int):
+    """For each point: top-k NEGATED squared distances (ascending true
+    distance) and neighbor ids, excluding self and padded columns.
+
+    Returns (best_d [n, k] ascending squared distances, best_i [n, k]).
+    """
+    n = pts.shape[0]
+    num_blocks = n // block
+    blocks = pts.reshape(num_blocks, block, 3)
+    sq_blocks = sq.reshape(num_blocks, block)
+    blk_ids = jnp.arange(num_blocks, dtype=jnp.int32)
+    inf = jnp.float32(jnp.inf)
+
+    def row_body(_, row_in):
+        row_pts, row_sq, row_id = row_in
+        row_ids = row_id * block + jnp.arange(block, dtype=jnp.int32)
+
+        def col_body(carry, col_in):
+            best_d, best_i = carry
+            col_pts, col_sq, col_id = col_in
+            cross = jnp.dot(row_pts, col_pts.T,
+                            precision="highest")  # MXU [block, block]
+            d2 = row_sq[:, None] + col_sq[None, :] - 2.0 * cross
+            col_ids = col_id * block + jnp.arange(block, dtype=jnp.int32)
+            invalid = ((col_ids[None, :] == row_ids[:, None])
+                       | (col_ids >= p)[None, :])
+            d2 = jnp.where(invalid, inf, jnp.maximum(d2, 0.0))
+            blk_d, blk_j = lax.top_k(-d2, k)
+            blk_i = col_ids[blk_j]
+            merged_d = jnp.concatenate([best_d, -blk_d], axis=1)
+            merged_i = jnp.concatenate([best_i, blk_i], axis=1)
+            keep_d, keep_j = lax.top_k(-merged_d, k)
+            return (-keep_d,
+                    jnp.take_along_axis(merged_i, keep_j, axis=1)), None
+
+        init = (jnp.full((block, k), inf), jnp.zeros((block, k), jnp.int32))
+        (bd, bi), _ = lax.scan(col_body, init, (blocks, sq_blocks, blk_ids))
+        return None, (bd, bi)
+
+    _, (best_d, best_i) = lax.scan(row_body, None,
+                                   (blocks, sq_blocks, blk_ids))
+    return best_d.reshape(n, k), best_i.reshape(n, k)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block"))
 def knn_indices(points: jnp.ndarray, k: int = 20, block: int = 2048):
     """Exact k-NN indices + squared distances (excluding self).
 
     The TPU replacement for the open3d KDTree neighbor build the reference
-    uses for its ARAP regularizer (utils/loss_utils.py:71-101). Blocked
-    top-k over an MXU distance matrix. Returns (sq_dists [P,k], idx [P,k]).
-    """
+    uses for its ARAP regularizer (utils/loss_utils.py:71-101). Returns
+    (sq_dists [P, k], idx [P, k])."""
     p = points.shape[0]
     pad = (-p) % block
     pts = jnp.pad(points, ((0, pad), (0, 0)))
-    n = pts.shape[0]
     sq = jnp.sum(pts * pts, axis=1)
-    num_blocks = n // block
-    blocks = pts.reshape(num_blocks, block, 3)
-    sq_blocks = sq.reshape(num_blocks, block)
-    inf = jnp.float32(jnp.inf)
-    idx_all = jnp.arange(n, dtype=jnp.int32)
-
-    def body(carry, inputs):
-        best_d, best_i = carry
-        blk_pts, blk_sq, blk_id = inputs
-        cross = jnp.dot(pts, blk_pts.T, precision="highest")
-        d2 = sq[:, None] + blk_sq[None, :] - 2.0 * cross
-        col_ids = blk_id * block + jnp.arange(block, dtype=jnp.int32)
-        invalid = (col_ids[None, :] == idx_all[:, None]) | (col_ids >= p)[None, :]
-        d2 = jnp.where(invalid, inf, jnp.maximum(d2, 0.0))
-        blk_d, blk_j = lax.top_k(-d2, k)
-        blk_i = col_ids[blk_j]
-        merged_d = jnp.concatenate([best_d, -blk_d], axis=1)
-        merged_i = jnp.concatenate([best_i, blk_i], axis=1)
-        keep_d, keep_j = lax.top_k(-merged_d, k)
-        return (-keep_d, jnp.take_along_axis(merged_i, keep_j, axis=1)), None
-
-    init = (jnp.full((n, k), inf), jnp.zeros((n, k), jnp.int32))
-    (best_d, best_i), _ = lax.scan(
-        body, init,
-        (blocks, sq_blocks, jnp.arange(num_blocks, dtype=jnp.int32)))
+    best_d, best_i = _blocked_topk_neg_d2(pts, sq, p, block, k)
     return best_d[:p], best_i[:p]
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def mean_sq_dist_3nn(points: jnp.ndarray, block: int = 2048) -> jnp.ndarray:
-    """points [P, 3] -> [P] mean of squared distances to the 3 nearest
-    neighbors (excluding self)."""
+def _mean_sq_dist_3nn_exact(points, block: int = 2048):
     p = points.shape[0]
     pad = (-p) % block
     pts = jnp.pad(points, ((0, pad), (0, 0)))
-    n = pts.shape[0]
     sq = jnp.sum(pts * pts, axis=1)
+    top3, _ = _blocked_topk_neg_d2(pts, sq, p, block, 3)
+    return jnp.mean(top3, axis=1)[:p]
 
-    num_blocks = n // block
-    blocks = pts.reshape(num_blocks, block, 3)
-    sq_blocks = sq.reshape(num_blocks, block)
 
+def _spread_bits(x):
+    """10-bit int -> bits spread 3 apart (Morton interleave component)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _mean_sq_dist_3nn_morton(points, block: int = 2048):
+    """Morton-window 3-NN for large P — the TPU analogue of the reference's
+    approximate Morton-box search (simple_knn.cu:133-182: candidates come
+    from spatially-neighboring boxes only, not the full set). Points are
+    sorted by 30-bit Morton code; each sorted block compares against its
+    3-block neighborhood (6144 spatially-local candidates). O(P * window)
+    instead of O(P^2) — the exact path devours ~P^2/7.5e9 seconds and the
+    device watchdog kills it around 1M points."""
+    p = points.shape[0]
+    pad = (-p) % block
+    # pad with far-away sentinels: sorted last, never neighbors
+    pts = jnp.pad(points, ((0, pad), (0, 0)), constant_values=3e8)
+    n = pts.shape[0]
+    lo = jnp.min(points, axis=0)
+    hi = jnp.max(points, axis=0)
+    q = ((pts - lo) / jnp.maximum(hi - lo, 1e-12) * 1023.0)
+    q = jnp.clip(q, 0, 1023).astype(jnp.int32)
+    code = ((_spread_bits(q[:, 0]) << 2) | (_spread_bits(q[:, 1]) << 1)
+            | _spread_bits(q[:, 2]))
+    order = jnp.argsort(code)
+    pts_s = pts[order]
+    sq_s = jnp.sum(pts_s * pts_s, axis=1)
+
+    nb = n // block
+    blocks = pts_s.reshape(nb, block, 3)
     inf = jnp.float32(jnp.inf)
-    idx_all = jnp.arange(n, dtype=jnp.int32)
-    pad_mask_all = idx_all >= p  # padded rows are not real neighbors
 
-    def body(carry, inputs):
-        top3 = carry  # [n, 3] current smallest squared distances, sorted asc
-        blk_pts, blk_sq, blk_id = inputs
-        # d2[i, j] = |x_i|^2 + |y_j|^2 - 2 <x_i, y_j>
-        cross = jnp.dot(pts, blk_pts.T, precision="highest")  # MXU [n, block]
-        d2 = sq[:, None] + blk_sq[None, :] - 2.0 * cross
-        # mask self-pairs and padded columns
-        col_ids = blk_id * block + jnp.arange(block, dtype=jnp.int32)
-        invalid = (col_ids[None, :] == idx_all[:, None]) | (col_ids >= p)[None, :]
-        d2 = jnp.where(invalid, inf, jnp.maximum(d2, 0.0))
-        # merge block's 3 smallest into the carry
-        blk_top3 = -lax.top_k(-d2, 3)[0]  # [n, 3] ascending? top_k desc of -d2
-        merged = jnp.concatenate([top3, blk_top3], axis=1)
-        top3 = -lax.top_k(-merged, 3)[0]
-        return top3, None
+    def row_body(_, row_id):
+        row_pts = blocks[row_id]
+        row_sq = lax.dynamic_slice(sq_s, (row_id * block,), (block,))
+        row_ids = row_id * block + jnp.arange(block, dtype=jnp.int32)
+        start = jnp.clip(row_id - 1, 0, max(nb - 3, 0))
+        win_pts = lax.dynamic_slice(
+            pts_s, (start * block, 0), (min(3 * block, n), 3))
+        win_sq = lax.dynamic_slice(sq_s, (start * block,),
+                                   (min(3 * block, n),))
+        win_ids = start * block + jnp.arange(win_pts.shape[0],
+                                             dtype=jnp.int32)
+        cross = jnp.dot(row_pts, win_pts.T, precision="highest")
+        d2 = row_sq[:, None] + win_sq[None, :] - 2.0 * cross
+        d2 = jnp.where(win_ids[None, :] == row_ids[:, None], inf,
+                       jnp.maximum(d2, 0.0))
+        top3 = -lax.top_k(-d2, 3)[0]
+        return None, jnp.mean(top3, axis=1)
 
-    init = jnp.full((n, 3), inf)
-    top3, _ = lax.scan(
-        body, init,
-        (blocks, sq_blocks, jnp.arange(num_blocks, dtype=jnp.int32)))
-    out = jnp.mean(top3, axis=1)
-    out = jnp.where(pad_mask_all, 0.0, out)
+    _, out_s = lax.scan(row_body, None, jnp.arange(nb, dtype=jnp.int32))
+    out = jnp.zeros((n,), jnp.float32).at[order].set(out_s.reshape(-1))
     return out[:p]
+
+
+# Above this many points the exact O(P^2) pass takes minutes of continuous
+# device time (the reference's simple-knn is itself Morton-approximate).
+EXACT_KNN_MAX = 1 << 18
+
+
+def mean_sq_dist_3nn(points: jnp.ndarray, block: int = 2048) -> jnp.ndarray:
+    """points [P, 3] -> [P] mean of squared distances to the 3 nearest
+    neighbors (excluding self). Exact (double-blocked MXU distance matrix)
+    up to EXACT_KNN_MAX points; Morton-window approximate — the reference
+    simple-knn's accuracy class — beyond."""
+    if points.shape[0] <= EXACT_KNN_MAX:
+        return _mean_sq_dist_3nn_exact(points, block=block)
+    return _mean_sq_dist_3nn_morton(points, block=block)

@@ -46,6 +46,10 @@ class Binning(NamedTuple):
     gid: jnp.ndarray          # [K_slots] int32 DEPTH-SORTED-space gaussian id
                               # per padded slot; == P for padding slots
     order: jnp.ndarray        # [P] int32: depth rank -> original gaussian id
+    inv_order: jnp.ndarray    # [P] int32: original gaussian id -> depth rank
+                              # (the transpose of a permutation gather is a
+                              # gather by the inverse — an XLA scatter-add
+                              # costs 85 ns/index at P=1M, the gather 7)
     tile_of_slot: jnp.ndarray  # [K_slots] int32 tile id (clamped)
     chunk_meta: jnp.ndarray   # [K_slots/chunk] int32 packed per kernel chunk:
                               # tile_id << 2 | is_first << 1 | is_last
@@ -119,8 +123,9 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # ---- depth pre-sort: all later work happens in depth-rank space ----
     active = proc.visible & (r_bin > 0)
     depth_key = jnp.where(active, proc.depth, jnp.inf)
-    _, order = lax.sort((depth_key, jnp.arange(p, dtype=jnp.int32)),
-                        dimension=0, num_keys=1)
+    iota_p = jnp.arange(p, dtype=jnp.int32)
+    _, order = lax.sort((depth_key, iota_p), dimension=0, num_keys=1)
+    _, inv_order = lax.sort((order, iota_p), dimension=0, num_keys=1)
 
     min_x, min_y, max_x, max_y = tile_rect(
         proc.xy, r_bin, tile_x, tile_y, grid_x, grid_y)
@@ -261,9 +266,10 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # ``used`` derives elementwise in [P]-space (a gaussian is used iff its
     # whole rect fits the budget == exactly the in_budget rule) — the
     # round-1 K-sized scatter from dup_rank paid ~9ns per SLOT for a fact
-    # already known per gaussian.
-    used = jnp.zeros((p,), jnp.bool_).at[order].set(fits)
+    # already known per gaussian. Rank -> original id is a permutation, so
+    # the reorder is a gather by the inverse, not a scatter.
+    used = fits[inv_order]
 
-    return Binning(gid=gid_sorted, order=order, tile_of_slot=tile_of_slot,
-                   chunk_meta=chunk_meta,
+    return Binning(gid=gid_sorted, order=order, inv_order=inv_order,
+                   tile_of_slot=tile_of_slot, chunk_meta=chunk_meta,
                    tile_len=len_t, num_dup=num_dup, radius=radius, used=used)

@@ -68,7 +68,29 @@ class RasterizeOutput(NamedTuple):
     final_t: jnp.ndarray   # [H, W] final transmittance
 
 
-def _slot_features(proc, gid, order, dtype=jnp.float32):
+@jax.custom_vjp
+def _permute_rows(table, order, inv_order):
+    """``table[order]`` whose TRANSPOSE is a gather by the inverse
+    permutation instead of XLA's scatter-add (85 ns/index at P=1M vs a
+    7 ns gather; the inverse comes from one extra cheap sort in binning)."""
+    return table[order]
+
+
+def _permute_rows_fwd(table, order, inv_order):
+    return table[order], inv_order
+
+
+def _permute_rows_bwd(inv_order, dt):
+    import numpy as _np
+
+    zero_i = _np.zeros(inv_order.shape, dtype=jax.dtypes.float0)
+    return (dt[inv_order], zero_i, zero_i)
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def _slot_features(proc, gid, order, inv_order, dtype=jnp.float32):
     """[9, K_slots] RAW kernel feature rows (x, y, a, b, c, opa, rgb).
 
     ``gid`` indexes DEPTH-RANK space (binning pre-sorts by depth), so the
@@ -84,11 +106,11 @@ def _slot_features(proc, gid, order, dtype=jnp.float32):
     The backward of the row gather is the per-gaussian scatter-add that
     replaces the reference's atomicAdd reduction (backward.cu:523-554).
     """
-    table = jnp.stack([
+    table = _permute_rows(jnp.stack([
         proc.xy[:, 0], proc.xy[:, 1],
         proc.conic[:, 0], proc.conic[:, 1], proc.conic[:, 2],
         proc.opacity, proc.rgb[:, 0], proc.rgb[:, 1], proc.rgb[:, 2],
-    ], axis=1)[order]  # [P, 9] in depth order (differentiable)
+    ], axis=1), order, inv_order)  # [P, 9] in depth order (differentiable)
 
     # casting BEFORE the big gather halves its HBM traffic (bf16 inference)
     table = jnp.concatenate(
@@ -123,7 +145,7 @@ def rasterize(
         interpret=s.interpret)
 
     feat = _slot_features(
-        proc, binn.gid, binn.order,
+        proc, binn.gid, binn.order, binn.inv_order,
         dtype=jnp.bfloat16 if s.inference else jnp.float32)
 
     # Assemble channel-major tile buffers [T, ch, n_pix] into [ch, H, W].

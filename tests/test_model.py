@@ -17,6 +17,25 @@ def test_knn_matches_bruteforce():
     np.testing.assert_allclose(got, expected, rtol=1e-4)
 
 
+def test_knn_morton_window_close_to_exact():
+    """The large-P Morton-window path (the reference simple-knn's accuracy
+    class, simple_knn.cu:133-182) must be near-exact on a uniform cloud:
+    most rows exact, none wildly off (it is a scale INIT heuristic)."""
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-1, 1, size=(4096, 3)).astype(np.float32)
+    got = np.asarray(knn._mean_sq_dist_3nn_morton(jnp.asarray(pts),
+                                                  block=256))
+    # compare against the exact path (IDENTICAL sq-form numerics — a raw
+    # brute-force comparison measures f32 cancellation, not window misses)
+    exact = np.asarray(knn._mean_sq_dist_3nn_exact(jnp.asarray(pts),
+                                                   block=256))
+    rel = np.abs(got - exact) / (exact + 1e-12)
+    assert (rel < 1e-5).mean() > 0.85, (rel < 1e-5).mean()
+    assert np.median(rel) < 1e-6
+    # a window miss can only OVERestimate the neighbor distance
+    assert np.all(got >= exact - 1e-6 * np.abs(exact))
+
+
 def test_adam_matches_torch():
     import torch
 
