@@ -20,6 +20,7 @@ replaces the reference's atomicAdd reduction (backward.cu:523-554).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -68,6 +69,64 @@ class RasterizeOutput(NamedTuple):
     final_t: jnp.ndarray   # [H, W] final transmittance
 
 
+# Above this slot count the gradient reduction routes through sort +
+# fused cumsum + boundary gathers instead of XLA scatter-add: scatter-add
+# costs ~11 ns/index at 100k-row targets but ~65 ns at 1M rows (random
+# HBM read-modify-write), and does NOT improve with sorted indices
+# (measured 124 ns/index). The sort pipeline is ~15 ns/index flat.
+_SEGSUM_MIN_SLOTS = 1 << 20
+
+
+def _segsum_reduce(dfeat, gid, p1: int, interpret: bool):
+    """dtable[r] = sum of dfeat columns with gid == r, via ONE kv-sort +
+    fused Kahan cumsum + one boundary row-gather — no scatter.
+
+    Everything K-sized stays in [rows, K] layout (K on lanes): a [K, 9]
+    array is lane-padded 9 -> 128, so per-column slicing of it measured
+    48 ms at K=2.1M. The only [*, 9]-minor arrays here are gather outputs
+    and one final diff."""
+    from gsplat_tpu.raster.scan_kernel import multi_cumsum
+
+    k = gid.shape[0]
+    gs, ss = jax.lax.sort(
+        (gid, jnp.arange(k, dtype=jnp.int32)), num_keys=1)
+    ds = dfeat.T[ss].T  # [9, K] columns in gid order (row gather + copy)
+    cs = multi_cumsum([ds[i] for i in range(dfeat.shape[0])],
+                      interpret=interpret)
+    ct = jnp.concatenate(
+        [jnp.zeros((dfeat.shape[0], 1), dfeat.dtype),
+         jnp.stack(cs, axis=0)], axis=1).T  # [K+1, 9] inclusive, 0-led
+    bounds = jnp.searchsorted(gs, jnp.arange(p1 + 1, dtype=jnp.int32),
+                              side="left", method="sort")
+    ctb = ct[bounds]  # [p1+1, 9] one row gather
+    return ctb[1:] - ctb[:-1]  # [p1, 9]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_rows_t(table, gid, p1: int, interpret: bool):
+    """``table[gid].T`` whose TRANSPOSE picks the cheapest per-gaussian
+    reduction for the scale (see _SEGSUM_MIN_SLOTS)."""
+    return table[gid].T
+
+
+def _gather_rows_t_fwd(table, gid, p1, interpret):
+    return table[gid].T, gid
+
+
+def _gather_rows_t_bwd(p1, interpret, gid, dfeat):
+    import numpy as _np
+
+    if gid.shape[0] >= _SEGSUM_MIN_SLOTS:
+        dtable = _segsum_reduce(dfeat, gid, p1, interpret)
+    else:
+        dtable = jnp.zeros((p1, dfeat.shape[0]), dfeat.dtype
+                           ).at[gid].add(dfeat.T)
+    return dtable, _np.zeros(gid.shape, dtype=jax.dtypes.float0)
+
+
+_gather_rows_t.defvjp(_gather_rows_t_fwd, _gather_rows_t_bwd)
+
+
 @jax.custom_vjp
 def _permute_rows(table, order, inv_order):
     """``table[order]`` whose TRANSPOSE is a gather by the inverse
@@ -90,7 +149,8 @@ def _permute_rows_bwd(inv_order, dt):
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
-def _slot_features(proc, gid, order, inv_order, dtype=jnp.float32):
+def _slot_features(proc, gid, order, inv_order, dtype=jnp.float32,
+                   interpret=False):
     """[9, K_slots] RAW kernel feature rows (x, y, a, b, c, opa, rgb).
 
     ``gid`` indexes DEPTH-RANK space (binning pre-sorts by depth), so the
@@ -115,7 +175,8 @@ def _slot_features(proc, gid, order, inv_order, dtype=jnp.float32):
     # casting BEFORE the big gather halves its HBM traffic (bf16 inference)
     table = jnp.concatenate(
         [table.astype(dtype), jnp.zeros((1, 9), dtype)], axis=0)
-    return table[gid].T  # [9, K_slots] dense
+    return _gather_rows_t(table, gid, table.shape[0],
+                          interpret)  # [9, K_slots] dense
 
 
 def rasterize(
@@ -146,7 +207,8 @@ def rasterize(
 
     feat = _slot_features(
         proc, binn.gid, binn.order, binn.inv_order,
-        dtype=jnp.bfloat16 if s.inference else jnp.float32)
+        dtype=jnp.bfloat16 if s.inference else jnp.float32,
+        interpret=s.interpret)
 
     # Assemble channel-major tile buffers [T, ch, n_pix] into [ch, H, W].
     def assemble(img_t, ch):

@@ -180,3 +180,33 @@ def test_multi_cummax_matches_lax():
     for g, a in zip(got, arrays):
         np.testing.assert_array_equal(np.asarray(g),
                                       np.asarray(jax.lax.cummax(a)))
+
+
+def test_multi_cumsum_matches_numpy():
+    from gsplat_tpu.raster.scan_kernel import multi_cumsum
+
+    rng = np.random.default_rng(8)
+    arrays = [rng.normal(size=9000).astype(np.float32) for _ in range(3)]
+    got = multi_cumsum([jnp.asarray(a) for a in arrays], interpret=True)
+    for g, a in zip(got, arrays):
+        # Kahan-compensated: error stays at within-block scale
+        np.testing.assert_allclose(np.asarray(g), np.cumsum(a, dtype=np.float64),
+                                   atol=2e-3, rtol=1e-5)
+
+
+def test_segsum_reduce_matches_scatter_add():
+    """The large-K gradient reduction (sort + fused cumsum + boundary
+    gathers) must reproduce the scatter-add transpose exactly enough for
+    training (it replaces XLA scatter above _SEGSUM_MIN_SLOTS)."""
+    from gsplat_tpu.raster.rasterize import _segsum_reduce
+
+    rng = np.random.default_rng(9)
+    k, p1 = 20_000, 700
+    gid = rng.integers(0, p1, k).astype(np.int32)
+    dfeat = rng.normal(size=(9, k)).astype(np.float32)
+    got = np.asarray(_segsum_reduce(
+        jnp.asarray(dfeat), jnp.asarray(gid), p1, interpret=True))
+    exact = np.zeros((p1, 9), np.float64)
+    np.add.at(exact, gid, dfeat.T.astype(np.float64))
+    scale = np.abs(exact).max()
+    np.testing.assert_allclose(got / scale, exact / scale, atol=2e-6)
