@@ -102,13 +102,19 @@ def _spread_bits(x):
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def _mean_sq_dist_3nn_morton(points, block: int = 2048):
-    """Morton-window 3-NN for large P — the TPU analogue of the reference's
-    approximate Morton-box search (simple_knn.cu:133-182: candidates come
-    from spatially-neighboring boxes only, not the full set). Points are
-    sorted by 30-bit Morton code; each sorted block compares against its
-    3-block neighborhood (6144 spatially-local candidates). O(P * window)
-    instead of O(P^2) — the exact path devours ~P^2/7.5e9 seconds and the
-    device watchdog kills it around 1M points."""
+    """Morton-window APPROXIMATE 3-NN for large P. NOTE: the reference's
+    boxMeanDist (simple_knn.cu:133-182) is an EXACT pruned search — its
+    box-lower-bound test against the reject radius never discards a true
+    top-3 neighbor. This path is genuinely approximate: points are sorted
+    by 30-bit Morton code and each sorted block compares only against its
+    3-block neighborhood (6144 spatially-local candidates), so a true
+    neighbor outside that window is missed and the returned mean-square
+    distance OVERESTIMATES. The error is one-sided (never under), and the
+    value only seeds the log-scale init heuristic (create_from_pcd), where
+    a slight overestimate means slightly larger initial Gaussians.
+    O(P * window) instead of O(P^2) — the exact path devours
+    ~P^2/7.5e9 seconds and the device watchdog kills it around 1M
+    points."""
     p = points.shape[0]
     pad = (-p) % block
     # pad with far-away sentinels: sorted last, never neighbors
@@ -152,15 +158,18 @@ def _mean_sq_dist_3nn_morton(points, block: int = 2048):
 
 
 # Above this many points the exact O(P^2) pass takes minutes of continuous
-# device time (the reference's simple-knn is itself Morton-approximate).
+# device time. The reference's simple-knn stays exact at every P (its
+# Morton boxes only prune, never drop, true neighbors); beyond this cap we
+# trade that exactness for the bounded-overestimate Morton-window path.
 EXACT_KNN_MAX = 1 << 18
 
 
 def mean_sq_dist_3nn(points: jnp.ndarray, block: int = 2048) -> jnp.ndarray:
     """points [P, 3] -> [P] mean of squared distances to the 3 nearest
     neighbors (excluding self). Exact (double-blocked MXU distance matrix)
-    up to EXACT_KNN_MAX points; Morton-window approximate — the reference
-    simple-knn's accuracy class — beyond."""
+    up to EXACT_KNN_MAX points; beyond that, Morton-window approximate
+    (one-sided overestimate; the reference is exact at every P — see
+    _mean_sq_dist_3nn_morton)."""
     if points.shape[0] <= EXACT_KNN_MAX:
         return _mean_sq_dist_3nn_exact(points, block=block)
     return _mean_sq_dist_3nn_morton(points, block=block)

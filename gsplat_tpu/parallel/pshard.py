@@ -36,16 +36,30 @@ from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
 
 ZNEAR_CULL = 0.2  # frustum near-cull plane (auxiliary.h:154)
 _HIST_BINS = 256
-_ZFAR = 120.0
+
+
+def _depth_hi(depth, alive, axis: str):
+    """Upper end of the slab-binning depth range: the pmax'd deepest alive
+    point (NOT a fixed constant — a magic zfar collapses any deeper scene
+    content into the last bin and skews slab balance). Slab bounds are
+    bookkeeping, not a differentiable quantity (pmax has no AD rule)."""
+    d_max = lax.pmax(
+        lax.stop_gradient(jnp.max(jnp.where(alive, depth, -jnp.inf))), axis)
+    return jnp.maximum(d_max, 2.0 * ZNEAR_CULL)
+
+
+def _log_depth(depth, hi):
+    return jnp.log(jnp.clip(depth, ZNEAR_CULL, hi))
 
 
 def _slab_bounds(depth, alive, n_dev: int, axis: str):
     """Global equal-occupancy depth boundaries from a psum'd histogram.
 
-    Returns [n_dev + 1] boundaries in log-depth space (first=-inf-ish,
-    last=+inf)."""
-    logd = jnp.log(jnp.clip(depth, ZNEAR_CULL, _ZFAR))
-    lo, hi = jnp.log(ZNEAR_CULL), jnp.log(_ZFAR)
+    Returns ([n_dev + 1] boundaries in log-depth space (first=-inf-ish,
+    last=+inf), hi depth for ``_log_depth``)."""
+    hi_d = _depth_hi(depth, alive, axis)
+    logd = _log_depth(depth, hi_d)
+    lo, hi = jnp.log(ZNEAR_CULL), jnp.log(hi_d)
     bins = jnp.clip(((logd - lo) / (hi - lo) * _HIST_BINS).astype(jnp.int32),
                     0, _HIST_BINS - 1)
     hist = jnp.zeros((_HIST_BINS,), jnp.int32).at[bins].add(
@@ -60,7 +74,7 @@ def _slab_bounds(depth, alive, n_dev: int, axis: str):
     idx = jnp.searchsorted(cum, targets.astype(jnp.int32), side="left")
     inner = edges[jnp.clip(idx, 0, _HIST_BINS - 1)]
     return jnp.concatenate([jnp.asarray([-jnp.inf]), inner,
-                            jnp.asarray([jnp.inf])])
+                            jnp.asarray([jnp.inf])]), hi_d
 
 
 def make_pshard_render(mesh: Mesh, settings: RasterizeSettings,
@@ -93,9 +107,9 @@ def make_pshard_render(mesh: Mesh, settings: RasterizeSettings,
         view = camera.view
         depth_f = (means_f[:, 0] * view[2, 0] + means_f[:, 1] * view[2, 1]
                    + means_f[:, 2] * view[2, 2]) + view[2, 3]
-        bounds = _slab_bounds(depth_f, alive_f & (depth_f > ZNEAR_CULL),
-                              n_dev, axis)
-        logd = jnp.log(jnp.clip(depth_f, ZNEAR_CULL, _ZFAR))
+        bounds, hi_d = _slab_bounds(depth_f, alive_f & (depth_f > ZNEAR_CULL),
+                                    n_dev, axis)
+        logd = _log_depth(depth_f, hi_d)
         my_mask = (logd >= bounds[d]) & (logd < bounds[d + 1])
 
         out = rasterize(means_f, scales_f, quats_f, opa_f, shs_f, camera,
@@ -183,9 +197,10 @@ def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
             view = camera.view
             depth_f = (means_f[:, 0] * view[2, 0] + means_f[:, 1] * view[2, 1]
                        + means_f[:, 2] * view[2, 2]) + view[2, 3]
-            bounds = _slab_bounds(depth_f, alive_f & (depth_f > ZNEAR_CULL),
-                                  n_dev, axis)
-            logd = jnp.log(jnp.clip(depth_f, ZNEAR_CULL, _ZFAR))
+            bounds, hi_d = _slab_bounds(depth_f,
+                                        alive_f & (depth_f > ZNEAR_CULL),
+                                        n_dev, axis)
+            logd = _log_depth(depth_f, hi_d)
             my_mask = (logd >= bounds[d]) & (logd < bounds[d + 1])
 
             out = rasterize(means_f, scales_f, quats_f, opa_f, shs_f, camera,

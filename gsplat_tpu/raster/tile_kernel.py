@@ -124,11 +124,20 @@ def _split_hi_lo(x):
 
 def _scan_cols(x, exclusive: bool):
     """Training prefix sum along axis=0 (the chunk axis) via MXU triangular
-    matmul in TWO bf16 passes (~2^-18 relative): the 0/1 triangular matrix
-    is exact in bf16, so splitting only x (hi + lo) recovers near-f32
-    accuracy at 1/3 the HIGHEST (6-pass) cost. Mosaic does not lower
-    ``Precision.HIGH``, hence the manual split. The summands are
-    same-signed, so no cancellation amplifies the error."""
+    matmul in TWO bf16 passes (~2^-18 per-operand relative error): the 0/1
+    triangular matrix is exact in bf16, so splitting only x (hi + lo)
+    recovers near-f32 accuracy at 1/3 the HIGHEST (6-pass) cost. Mosaic
+    does not lower ``Precision.HIGH``, hence the manual split.
+
+    Error model for the two users: the forward log1p(-alpha) scan has
+    same-signed summands, so the error stays ~2^-18 relative to each
+    prefix. The backward ``aw`` scan has SIGNED summands, so cancellation
+    can amplify the error relative to the prefix — but the absolute error
+    is still bounded by 2^-18 * sum|aw|, and ``aw`` feeds
+    ``s = d_tot - cum_in`` where d_tot is itself O(sum|aw|): the gradient
+    perturbation is ~2^-18 of the per-pixel cotangent scale, far inside
+    the 2e-4 oracle-gradient parity gate (tests/test_raster.py:113, which
+    exercises exactly this signed path against f64-free f32 autodiff)."""
     tri = _tri(x.shape[0], not exclusive, jnp.bfloat16)
     hi, lo = _split_hi_lo(x)
     d = functools.partial(lax.dot_general, tri,
