@@ -24,11 +24,11 @@ TPU performance notes (validated against jax.profiler traces, round 2):
 - Tile-list padding (each non-empty tile's list padded to a CHUNK multiple
   for the Pallas kernel) is fused INTO the sort via per-tile pad candidates
   that sort behind their tile's real duplicates. Empty tiles get no slots.
-- Binning rects use the exact alpha-cutoff radius min(3sigma, r_cut); a
-  per-duplicate eigenvalue-bound contribution cull marks never-contributing
-  duplicates with the sentinel rank (zero features in the kernel — they
-  keep their slot so the coverage matmul stays exact) — both
-  image-identical to the reference's semantics.
+- Binning rects are the intersection of the reference's 3-sigma circle box
+  with the AABB of the alpha >= 1/255 conic ellipse (opacity-aware AND
+  anisotropy-aware) — image-identical to the reference's semantics with
+  strictly fewer duplicates; see the rect derivation at the top of
+  ``bin_gaussians``.
 """
 
 from __future__ import annotations
@@ -102,39 +102,63 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     p = proc.xy.shape[0]
     num_tiles = grid_x * grid_y
 
-    # Binning rect: the reference uses the 3-sigma radius (forward.cu:232).
-    # Any pixel at distance r from the center has alpha <= opa *
-    # exp(-lmin(conic) r^2 / 2), so r_cut = sqrt(2 ln(255 opa) / lmin) bounds
-    # every >=1/255 contribution. min(3sigma, r_cut) keeps reference
-    # semantics (never larger than the reference rect) while shrinking the
-    # rect sharply for low-opacity Gaussians — image-identical, fewer dups.
-    a_ = proc.conic[:, 0]
-    b2_ = proc.conic[:, 1] ** 2
-    c_ = proc.conic[:, 2]
-    mid_ = 0.5 * (a_ + c_)
-    lmin_ = jnp.maximum(
-        mid_ - jnp.sqrt(jnp.maximum(mid_ * mid_ - (a_ * c_ - b2_), 0.0)),
-        1e-12)
-    log_term = jnp.log(jnp.maximum(255.0 * proc.opacity, 1e-12))
-    r_cut = jnp.ceil(jnp.sqrt(jnp.maximum(2.0 * log_term, 0.0) / lmin_))
-    r_bin = jnp.minimum(proc.radius, r_cut.astype(jnp.int32))
-    r_bin = jnp.where(proc.opacity >= 1.0 / 255.0, r_bin, 0)
+    # Binning rect: the reference uses the tile box of the 3-sigma CIRCLE
+    # (forward.cu:232, getRect auxiliary.h:46-56). Every pixel the kernel
+    # actually composites has alpha >= 1/255 (forward.cu:345-346), i.e. lies
+    # in the conic ellipse Q(d) <= r_a^2 := 2 ln(255 opa). The AABB of that
+    # ellipse has per-axis half-extents r_a*sqrt(Sigma_xx) / r_a*sqrt(
+    # Sigma_yy) (Sigma = conic^-1 is the 2D covariance), so
+    #   rect = ellipse-AABB tile rect  ∩  reference circle tile rect
+    # contains every composited pixel of the reference rect: image-identical
+    # to the CUDA semantics with strictly fewer duplicates — sharper both
+    # for low-opacity Gaussians (opacity-aware r_a) and anisotropic ones
+    # (minor-axis extent instead of the major-axis circle radius).
+    #
+    # Truncation subtlety: getRect's exclusive max ((p + r + tile-1)/tile,
+    # truncated) itself drops tiles the splat reaches by < 1 pixel — that
+    # truncation IS the reference semantics and only the circle rect may
+    # apply it. The ellipse rect must be CONSERVATIVE (floor((p+r)/tile)+1)
+    # so the intersection never drops a composited pixel the circle rect
+    # keeps (a ceil'd integer extent fed through getRect loses real
+    # contributions exactly at tile boundaries).
+    rmin_x, rmin_y, rmax_x, rmax_y = tile_rect(
+        proc.xy, proc.radius, tile_x, tile_y, grid_x, grid_y)
+    det_con = (proc.conic[:, 0] * proc.conic[:, 2]
+               - proc.conic[:, 1] ** 2)
+    det_safe = jnp.maximum(det_con, 1e-24)
+    sigma_xx = proc.conic[:, 2] / det_safe
+    sigma_yy = proc.conic[:, 0] / det_safe
+    r_a2 = 2.0 * jnp.log(jnp.maximum(255.0 * proc.opacity, 1e-12))
+    r_a2 = jnp.maximum(r_a2, 0.0)
+    ex = jnp.sqrt(r_a2 * jnp.maximum(sigma_xx, 0.0))
+    ey = jnp.sqrt(r_a2 * jnp.maximum(sigma_yy, 0.0))
+    gx_, gy_ = proc.xy[:, 0], proc.xy[:, 1]
+    emin_x = jnp.clip(jnp.floor((gx_ - ex) / tile_x), 0, grid_x
+                      ).astype(jnp.int32)
+    emax_x = jnp.clip(jnp.floor((gx_ + ex) / tile_x) + 1, 0, grid_x
+                      ).astype(jnp.int32)
+    emin_y = jnp.clip(jnp.floor((gy_ - ey) / tile_y), 0, grid_y
+                      ).astype(jnp.int32)
+    emax_y = jnp.clip(jnp.floor((gy_ + ey) / tile_y) + 1, 0, grid_y
+                      ).astype(jnp.int32)
+    min_x = jnp.maximum(rmin_x, emin_x)
+    max_x = jnp.minimum(rmax_x, emax_x)
+    min_y = jnp.maximum(rmin_y, emin_y)
+    max_y = jnp.minimum(rmax_y, emax_y)
+    w_rect = jnp.maximum(max_x - min_x, 0)
+    h_rect = jnp.maximum(max_y - min_y, 0)
+    ok_opa = proc.opacity >= 1.0 / 255.0
 
     # ---- depth pre-sort: all later work happens in depth-rank space ----
-    active = proc.visible & (r_bin > 0)
+    active = proc.visible & ok_opa & (w_rect > 0) & (h_rect > 0)
     depth_key = jnp.where(active, proc.depth, jnp.inf)
     iota_p = jnp.arange(p, dtype=jnp.int32)
     _, order = lax.sort((depth_key, iota_p), dimension=0, num_keys=1)
     _, inv_order = lax.sort((order, iota_p), dimension=0, num_keys=1)
 
-    min_x, min_y, max_x, max_y = tile_rect(
-        proc.xy, r_bin, tile_x, tile_y, grid_x, grid_y)
-    counts = jnp.where(active, (max_x - min_x) * (max_y - min_y), 0
-                       ).astype(jnp.int32)[order]
+    counts = jnp.where(active, w_rect * h_rect, 0).astype(jnp.int32)[order]
     # radii output keeps the reference's 3-sigma semantics (forward.cu:251):
     # zero only when the 3-sigma rect itself is empty.
-    rmin_x, rmin_y, rmax_x, rmax_y = tile_rect(
-        proc.xy, proc.radius, tile_x, tile_y, grid_x, grid_y)
     ref_rect = (rmax_x - rmin_x) * (rmax_y - rmin_y)
     radius = jnp.where(proc.visible & (ref_rect > 0), proc.radius, 0)
 
@@ -166,8 +190,8 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # w/h masked by ``active`` so count_d == counts exactly (an inactive
     # gaussian can still have a non-empty projected rect)
     minx_d = jnp.stack([min_x, min_y,
-                        jnp.where(active, max_x - min_x, 0),
-                        jnp.where(active, max_y - min_y, 0)],
+                        jnp.where(active, w_rect, 0),
+                        jnp.where(active, h_rect, 0)],
                        1)[order]  # [P, 4] tiny row gather
     rankp1 = (g_ids + 1) << (xb + yb)
     rect_pack = rankp1 | (minx_d[:, 0] << yb) | minx_d[:, 1]

@@ -5,17 +5,19 @@ This is the test oracle for the fast tiled/Pallas path (SURVEY.md §4:
 It is O(P * H * W) and fully differentiable via lax.scan, so jax.grad of it
 also provides golden gradients for the custom VJP.
 
-Compositing semantics (matching the fast path; see tile_kernel.py for the
-deliberate, bounded deviation from forward.cu:344-352):
+Compositing semantics (CUDA-exact, matching the fast path):
 - alpha = min(0.99, opacity * exp(power)); contributions with power > 0 or
   alpha < 1/255 are skipped (forward.cu:336-346),
-- a Gaussian contributes to a pixel only while the pixel's transmittance
-  before it satisfies T > 1e-4 (the reference instead skips the Gaussian
-  that would push T*(1-alpha) below 1e-4; the color difference is bounded
-  by 1e-4 per channel),
+- stop rule exactly as forward.cu:347-352: a Gaussian composites iff
+  T * (1 - alpha) >= 1e-4 and the pixel hasn't already stopped; the first
+  violator is itself dropped and latches the pixel done (T freezes at the
+  pre-violator value, which final_T reports),
 - a Gaussian affects a pixel only if the pixel's tile lies inside the
   Gaussian's 3-sigma tile rect (tile-granular cutoff, as in the reference's
   binning) — pass tile dims to reproduce the tiled footprint exactly.
+
+Independently cross-checked against tests/reference_port.py (a numpy
+transliteration written from the CUDA source, not from this file).
 """
 
 from __future__ import annotations
@@ -58,7 +60,7 @@ def blend_pixels(order, proc: Preprocessed, px, py, bg,
     pty = (py / tile_y).astype(jnp.int32)
 
     def body(carry, g):
-        T, C = carry
+        T, C, done = carry
         in_rect = ((ptx >= min_x[g]) & (ptx < max_x[g]) &
                    (pty >= min_y[g]) & (pty < max_y[g]) & proc.visible[g])
         dx = px - proc.xy[g, 0]
@@ -66,15 +68,20 @@ def blend_pixels(order, proc: Preprocessed, px, py, bg,
         a, b, c = proc.conic[g, 0], proc.conic[g, 1], proc.conic[g, 2]
         power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
         alpha = _clamp_passthrough(proc.opacity[g] * jnp.exp(power), ALPHA_MAX)
-        ok = in_rect & (power <= 0.0) & (alpha >= ALPHA_MIN) & (T > T_EPS)
-        alpha = jnp.where(ok, alpha, 0.0)
+        ok = in_rect & (power <= 0.0) & (alpha >= ALPHA_MIN) & ~done
+        # forward.cu:347-352: the contribution that would push T below
+        # 1e-4 is dropped and stops the pixel for good.
+        viol = ok & (T * (1.0 - alpha) < T_EPS)
+        alpha = jnp.where(ok & ~viol, alpha, 0.0)
         C = C + proc.rgb[g] * (alpha * T)[..., None]
         T = T * (1.0 - alpha)
-        return (T, C), None
+        done = done | viol
+        return (T, C, done), None
 
     T0 = jnp.ones(px.shape, dtype=jnp.float32)
     C0 = jnp.zeros(px.shape + (3,), dtype=jnp.float32)
-    (T, C), _ = lax.scan(body, (T0, C0), order)
+    done0 = jnp.zeros(px.shape, dtype=bool)
+    (T, C, _), _ = lax.scan(body, (T0, C0, done0), order)
     color = C + T[..., None] * bg
     return color, T
 

@@ -43,6 +43,9 @@ Matmul precision (v5e MXU runs f32 as multi-pass bf16):
   sums are same-signed so there is no cancellation to amplify);
 - the ``power`` quadratic-form matmul stays HIGHEST: its monomial expansion
   cancels catastrophically (terms up to a*x^2 ~ 1e4 vs results ~ -6);
+- the color accumulation (fwd) and the backward channel/pixel reductions
+  use a 3-pass hi/lo split (``_dot_hl``): single-pass bf16 left a measured
+  ~5e-3 (~48 dB floor) on deep-compositing images on real v5e;
 - the inference kernel runs the scan as a single-pass bf16 matmul: the
   log-transmittance sums are monotone, so bf16's 2^-8 relative error lands
   as <=0.5% on T — invisible at 8-bit output depth.
@@ -68,12 +71,18 @@ The feature array is stored transposed, [9, K], dense along K; the tile
 origin (for fp32-exact local coordinates at any image size) comes from the
 chunk's tile id and the static grid width.
 
-Compositing semantics match raster/naive.py (alpha clamped to 0.99, skipped
-below 1/255 or when power > 0, pixel stops accepting contributions once its
-transmittance T <= 1e-4; the 0.99 clamp is a gradient pass-through, exactly
-like backward.cu:477-481). The inference kernel drops the per-pixel
-saturation freeze (every skipped contribution is bounded by T <= 1e-4 —
-under half an 8-bit ULP) and composites the background in-kernel.
+Compositing semantics are CUDA-exact (forward.cu:336-356, shared with
+raster/naive.py): alpha clamped to 0.99, skipped below 1/255 or when
+power > 0; a contribution composites iff T * (1 - alpha) >= 1e-4 AND the
+pixel hasn't stopped — the first violator is itself dropped and latches the
+pixel ``done`` (T freezes at the pre-violator value, which is what final_T
+reports). The 0.99 clamp is a gradient pass-through, exactly like
+backward.cu:477-481. The inference kernel instead drops the stop rule
+entirely and keeps compositing until the whole tile's T <= 1e-4: the extra
+contributions it admits (which CUDA would drop) have total weight bounded
+by the frozen T — worst case ~1e-2 for a 0.99-alpha splat arriving at
+T ~ 1e-2, typically far less (measured 43.3 dB vs the training path on the
+adversarial bench scene) — and composites the background in-kernel.
 """
 
 from __future__ import annotations
@@ -122,12 +131,38 @@ def _split_hi_lo(x):
     return hi, lo
 
 
+def _dot_hl(lhs, rhs, dims):
+    """3-pass hi/lo bf16 dot_general (~2^-18 per-operand error) for the
+    training-path contractions whose operands are NOT exactly representable
+    in bf16 (color accumulation and the backward channel/pixel reductions).
+    Default single-pass precision costs 2^-8 relative — measured ~5e-3 on
+    the rendered image of a deep-compositing scene on real v5e, a ~48 dB
+    error floor that erodes the 0.1 dB PSNR parity budget."""
+    d = functools.partial(lax.dot_general, dimension_numbers=dims,
+                          preferred_element_type=jnp.float32)
+    lhi, llo = _split_hi_lo(lhs)
+    rhi, rlo = _split_hi_lo(rhs)
+    return d(lhi, rhi) + d(lhi, rlo) + d(llo, rhi)
+
+
+# Prefix-sum sub-block size: the tri-matmul scan costs CHUNK MACs per
+# element; splitting the chunk into SCAN_SUB-row blocks with a serial f32
+# carry cuts that to SCAN_SUB (+ a sublane reduce). Skinny (32,32)@(32,N)
+# matmuls still pipeline on the v5e MXU: measured on hardware at N=4096,
+# frame-equivalent scan cost tri128 8.6 ms / sub16 5.0 / sub32 3.3 /
+# sub8 8.4 — 32 is the sweet spot (fill/drain overhead eats smaller subs).
+SCAN_SUB = 32
+
+
 def _scan_cols(x, exclusive: bool):
-    """Training prefix sum along axis=0 (the chunk axis) via MXU triangular
-    matmul in TWO bf16 passes (~2^-18 per-operand relative error): the 0/1
-    triangular matrix is exact in bf16, so splitting only x (hi + lo)
-    recovers near-f32 accuracy at 1/3 the HIGHEST (6-pass) cost. Mosaic
-    does not lower ``Precision.HIGH``, hence the manual split.
+    """Training prefix sum along axis=0 (the chunk axis): MXU triangular
+    matmuls over SCAN_SUB-row sub-blocks in TWO bf16 passes (~2^-18
+    per-operand relative error) + an exact f32 carry across sub-blocks.
+    The 0/1 triangular matrix is exact in bf16, so splitting only x
+    (hi + lo) recovers near-f32 accuracy at 1/3 the HIGHEST (6-pass) cost;
+    Mosaic does not lower ``Precision.HIGH``, hence the manual split. The
+    sub-blocking cuts the dominant MAC term CHUNK -> SCAN_SUB per element
+    (the f32 carry also SHORTENS the bf16 scans, improving accuracy).
 
     Error model for the two users: the forward log1p(-alpha) scan has
     same-signed summands, so the error stays ~2^-18 relative to each
@@ -138,67 +173,95 @@ def _scan_cols(x, exclusive: bool):
     perturbation is ~2^-18 of the per-pixel cotangent scale, far inside
     the 2e-4 oracle-gradient parity gate (tests/test_raster.py:113, which
     exercises exactly this signed path against f64-free f32 autodiff)."""
-    tri = _tri(x.shape[0], not exclusive, jnp.bfloat16)
-    hi, lo = _split_hi_lo(x)
+    chunk = x.shape[0]
+    sub = SCAN_SUB if chunk % SCAN_SUB == 0 else chunk
+    tri = _tri(sub, not exclusive, jnp.bfloat16)
     d = functools.partial(lax.dot_general, tri,
                           dimension_numbers=(((1,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32)
-    return d(hi) + d(lo)
+    outs = []
+    carry = jnp.zeros((1, x.shape[1]), jnp.float32)
+    for b in range(chunk // sub):
+        blk = x[b * sub:(b + 1) * sub]
+        hi, lo = _split_hi_lo(blk)
+        outs.append(d(hi) + d(lo) + carry)
+        if b + 1 < chunk // sub:
+            carry = carry + jnp.sum(blk, axis=0, keepdims=True)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def _scan_cols_bf16(x, exclusive: bool):
-    """Inference prefix sum: single-pass bf16 MXU matmul (6x cheaper than
-    HIGHEST). Monotone same-signed sums keep the relative error ~2^-8."""
-    return lax.dot_general(_tri(x.shape[0], not exclusive, jnp.bfloat16),
-                           x.astype(jnp.bfloat16),
-                           (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+    """Inference prefix sum: single-pass bf16 MXU sub-block matmuls + f32
+    carry (6x cheaper than HIGHEST, SCAN_SUB/CHUNK the MACs of a full
+    triangular pass). Monotone same-signed sums keep the per-block relative
+    error ~2^-8; the f32 carry stops it compounding across sub-blocks."""
+    chunk = x.shape[0]
+    sub = SCAN_SUB if chunk % SCAN_SUB == 0 else chunk
+    tri = _tri(sub, not exclusive, jnp.bfloat16)
+    d = functools.partial(lax.dot_general, tri,
+                          dimension_numbers=(((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    outs = []
+    carry = jnp.zeros((1, x.shape[1]), jnp.float32)
+    for b in range(chunk // sub):
+        blk = x[b * sub:(b + 1) * sub]
+        outs.append(d(blk.astype(jnp.bfloat16)) + carry)
+        if b + 1 < chunk // sub:
+            carry = carry + jnp.sum(blk, axis=0, keepdims=True)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def _power_terms(feat, basis_t, ox, oy, exact: bool = True):
     """Quadratic-form power per (gaussian, pixel): [CHUNK, N_PIX] f32.
 
-    Expanded over LOCAL pixel coordinates in-kernel (cheap (1, CHUNK)
-    vector ops), then ONE MXU matmul contracting the 6 monomials. The
-    expansion cancels catastrophically (terms ~ a*x^2 up to 1e4 against
-    results ~ -6), so this matmul is fp32-exact (HIGHEST) on the training
-    path; for inference a manual 3-pass hi/lo bf16 split (~2^-18 operand
-    error, worst-case ~1e-4 absolute on power — Mosaic does not lower
-    ``Precision.HIGH``) runs at half the HIGHEST cost."""
+    Evaluated DIRECTLY on the VPU over per-pixel offsets dx/dy (the same
+    form as forward.cu:336-339 and the naive oracle): the earlier monomial
+    expansion + MXU matmul had terms ~ a*x^2 up to 1e4 cancelling against
+    results ~ -6 (requiring HIGHEST / 3-pass hi/lo matmuls), and a K=6
+    matmul pays full MXU fill per pass — measured 2.5 us/chunk of a
+    4.15 us chunk at 128x32 tiles, vs ~1.6 us for the direct broadcasts.
+    Direct evaluation is both faster and tighter (f32 error at the scale
+    of a*dx^2 ~ O(10), not of the 1e4 monomials).
+
+    ``basis_t`` rows 3/4 carry the local pixel coordinates px/py (see
+    _basis_t); the full 6-row basis is still used by the backward kernel's
+    dcoeff contraction, whose chain rules remain valid because power is
+    the same function of (a, b, c, x, y)."""
+    del exact  # direct form is always f32-tight
     x = feat[0:1, :] - ox
     y = feat[1:2, :] - oy
     a = feat[2:3, :]
     b = feat[3:4, :]
     c = feat[4:5, :]
-    coef = jnp.concatenate([
-        -0.5 * a, -0.5 * c, -b,
-        a * x + b * y, c * y + b * x,
-        -0.5 * (a * x * x + c * y * y) - b * x * y], axis=0)  # (6, CHUNK)
-    dims = (((0,), (0,)), ((), ()))
-    if exact:
-        power = lax.dot_general(coef, basis_t, dims,
-                                precision=lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
-    else:
-        chi, clo = _split_hi_lo(coef)
-        bhi, blo = _split_hi_lo(basis_t)
-        d = functools.partial(lax.dot_general, dimension_numbers=dims,
-                              preferred_element_type=jnp.float32)
-        power = d(chi, bhi) + d(chi, blo) + d(clo, bhi)
+    px = basis_t[3:4, :]          # (1, N_PIX) local pixel x
+    py = basis_t[4:5, :]          # (1, N_PIX) local pixel y
+    dx = px - jnp.transpose(x)    # (CHUNK, N_PIX)
+    dy = py - jnp.transpose(y)
+    at = jnp.transpose(a)
+    bt = jnp.transpose(b)
+    ct = jnp.transpose(c)
+    power = -0.5 * (at * dx * dx + ct * dy * dy) - bt * dx * dy
     return power, x, y, a, b, c
 
 
-def _alphas(feat, basis_t, t_in, ox, oy):
+def _alphas(feat, basis_t, t_in, done_in, ox, oy):
     """Shared training-path forward math: per-(gaussian, pixel)
     alpha/transmittance, all arrays (CHUNK, N_PIX) with pixels on lanes.
 
     feat: (NUM_FEAT, CHUNK) raw rows; t_in: (1, N_PIX) carried
-    transmittance (the reference's per-pixel T, forward.cu:301); ox/oy:
-    scalar tile origin.
+    transmittance (the reference's per-pixel T, forward.cu:301); done_in:
+    (1, N_PIX) carried 0/1 saturation latch; ox/oy: scalar tile origin.
 
-    The carry (the oracle's frozen-at-saturation T) is the LAST still-gated
-    inclusive product, recovered with a masked min (T is monotone
-    non-increasing along the chunk).
+    Stop rule EXACTLY as renderCUDA (forward.cu:347-352): a contribution
+    composites iff T * (1 - alpha) >= 1e-4 AND the pixel has not already
+    stopped; the first violating contribution is itself dropped and latches
+    the pixel ``done`` (its T never updates again). Within a chunk the
+    post-alpha transmittance is monotone non-increasing, so the sticky
+    CUDA ``done`` flag reduces to the pointwise gate; across chunks the
+    stickiness rides the ``done`` carry (the carried T excludes the
+    violator's factor, so the gate alone could spuriously re-open).
+    The carried T (CUDA's frozen final_T) is the LAST still-gated
+    post-alpha product, recovered with a masked min.
     """
     feat = feat.astype(jnp.float32)  # bf16 inference stream upcasts here
     power, x, y, a, b, c = _power_terms(feat, basis_t, ox, oy)
@@ -209,17 +272,19 @@ def _alphas(feat, basis_t, t_in, ox, oy):
     alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
     log1m = jnp.log1p(-alpha)  # exact 0 at alpha == 0
     t_g = t_in * jnp.exp(_scan_cols(log1m, exclusive=True))
-    gate = (t_g > T_EPS).astype(jnp.float32)
-    w = alpha * t_g * gate
     t_after = t_g * (1.0 - alpha)  # inclusive product, no second scan
+    gate = ((t_after >= T_EPS) & (done_in < 0.5)).astype(jnp.float32)
+    w = alpha * t_g * gate
     t_new = jnp.where(
         gate[:1, :] > 0,
         jnp.min(jnp.where(gate > 0, t_after, jnp.inf), axis=0,
                 keepdims=True),
         t_in)
+    done_new = jnp.maximum(done_in,
+                           (t_after[-1:, :] < T_EPS).astype(jnp.float32))
     rgb = feat[6:9, :]
     return dict(power=power, g_exp=g_exp, alpha=alpha, t_g=t_g, gate=gate,
-                w=w, rgb=rgb, opa=opa, t_new=t_new,
+                w=w, rgb=rgb, opa=opa, t_new=t_new, done_new=done_new,
                 x=x, y=y, a=a, b=b, c=c)
 
 
@@ -229,8 +294,8 @@ def _decode(chunk_meta, k):
 
 
 def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref,
-                acc_ref, tcar_ref, stage_ref, live_ref, busy_ref, pend_ref,
-                sems,
+                acc_ref, tcar_ref, done_ref, stage_ref, live_ref, busy_ref,
+                pend_ref, sems,
                 *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
                 num_tiles: int, chunk: int):
     """Training forward, SUPER sub-chunks per grid step (per-grid-step
@@ -281,24 +346,24 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref,
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
             tcar_ref[...] = jnp.ones_like(tcar_ref)
+            done_ref[...] = jnp.zeros_like(done_ref)
             live_ref[0] = 1
 
-        # Early exit: if every pixel in this tile is saturated (T <= eps),
+        # Early exit: once every pixel in this tile has latched ``done``,
         # later chunks contribute nothing (tile-level forward.cu:310-312).
         @pl.when(is_real & (live_ref[0] != 0))
         def _(j=j, ox=ox, oy=oy):
             basis_t = _basis_t(n_pix, tile_x)
             v = _alphas(feat_ref[:, j * chunk:(j + 1) * chunk], basis_t,
-                        tcar_ref[...], ox, oy)
+                        tcar_ref[...], done_ref[...], ox, oy)
             # C[ch, p] += sum_g rgb[ch, g] * w[g, p]  — MXU matmul with the
             # 3-channel axis on sublanes (pad 3->8, not 3->128).
-            contrib = lax.dot_general(v["rgb"], v["w"],
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+            contrib = _dot_hl(v["rgb"], v["w"], (((1,), (0,)), ((), ())))
             acc_ref[...] = acc_ref[...] + contrib
-            t_new = v["t_new"]
-            tcar_ref[...] = t_new
-            live_ref[0] = (jnp.max(t_new) > T_EPS).astype(jnp.int32)
+            tcar_ref[...] = v["t_new"]
+            done_new = v["done_new"]
+            done_ref[...] = done_new
+            live_ref[0] = (jnp.min(done_new) < 0.5).astype(jnp.int32)
 
         @pl.when(is_real & (last != 0))
         def _():
@@ -319,7 +384,7 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref,
 
 
 def _bwd_kernel(chunk_meta, feat_ref, ct_ref, dct_ref,
-                dfeat_ref, tcar_ref, accum_ref,
+                dfeat_ref, tcar_ref, accum_ref, done_ref,
                 *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
                 num_tiles: int):
     k = pl.program_id(0)
@@ -332,14 +397,15 @@ def _bwd_kernel(chunk_meta, feat_ref, ct_ref, dct_ref,
     def _():
         tcar_ref[...] = jnp.ones_like(tcar_ref)
         accum_ref[...] = jnp.zeros_like(accum_ref)
+        done_ref[...] = jnp.zeros_like(done_ref)
 
-    saturated = jnp.logical_not(is_real) | (jnp.max(tcar_ref[...]) <= T_EPS)
+    saturated = jnp.logical_not(is_real) | (jnp.min(done_ref[...]) >= 0.5)
 
     @pl.when(jnp.logical_not(saturated))
     def _():
         basis_t = _basis_t(n_pix, tile_x)
         feat = feat_ref[...]
-        v = _alphas(feat, basis_t, tcar_ref[0], ox, oy)
+        v = _alphas(feat, basis_t, tcar_ref[0], done_ref[0], ox, oy)
         # packed residual/cotangent blocks: rows 0-2 color, row 3 T
         dc = dct_ref[0, 0:3]    # (3, N_PIX)
         dt = dct_ref[0, 3:4]    # (1, N_PIX)
@@ -349,8 +415,7 @@ def _bwd_kernel(chunk_meta, feat_ref, ct_ref, dct_ref,
         # Per-pixel total downstream dot: D = <dC, C_final> + dT * T_final.
         d_tot = jnp.sum(dc * cres, axis=0, keepdims=True) + dt * tres
         # A[g, p] = <dC[:, p], rgb[:, g]> — contract the channel axis.
-        a_pg = lax.dot_general(v["rgb"], dc, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+        a_pg = _dot_hl(v["rgb"], dc, (((0,), (0,)), ((), ())))
         aw = a_pg * v["w"]
         cum_in = accum_ref[0] + _scan_cols(aw, exclusive=False)
         s = d_tot - cum_in  # suffix contributions incl. the T_final term
@@ -376,20 +441,25 @@ def _bwd_kernel(chunk_meta, feat_ref, ct_ref, dct_ref,
         dx = a * d3 + b * d4 - (a * x + b * y) * d5
         dy = b * d3 + c * d4 - (c * y + b * x) * d5
         # drgb[ch, g] = sum_p dC[ch, p] * w[g, p]
-        drgb = lax.dot_general(dc, v["w"], (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+        drgb = _dot_hl(dc, v["w"], (((1,), (1,)), ((), ())))
         # dopa[1, g] = sum_p g_exp*dalpha*live — ones-matmul lane reduction
         # (keeps the result a lane vector; a VPU axis-1 reduce would emit a
         # (CHUNK, 1) sublane vector needing a relayout).
-        ones_row = jnp.ones((1, n_pix), jnp.float32)
-        dopa = lax.dot_general(ones_row, v["g_exp"] * dalpha * live,
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+        # ones lhs is exact in bf16; split only the signed rhs (2 passes).
+        ones_row = jnp.ones((1, n_pix), jnp.bfloat16)
+        o_rhs = v["g_exp"] * dalpha * live
+        rhi, rlo = _split_hi_lo(o_rhs)
+        dopa_dims = (((1,), (1,)), ((), ()))
+        dopa = (lax.dot_general(ones_row, rhi, dopa_dims,
+                                preferred_element_type=jnp.float32)
+                + lax.dot_general(ones_row, rlo, dopa_dims,
+                                  preferred_element_type=jnp.float32))
         dfeat_ref[...] = jnp.concatenate(
             [dx, dy, da, db, dc_, dopa, drgb], axis=0)
 
         tcar_ref[...] = v["t_new"][None]
         accum_ref[...] = cum_in[-1:, :][None]
+        done_ref[...] = v["done_new"][None]
 
     @pl.when(saturated)
     def _():
@@ -426,6 +496,7 @@ def _forward(feat, chunk_meta, num_tiles: int, n_pix: int,
         scratch_shapes=[
             pltpu.VMEM((3, n_pix), jnp.float32),          # acc
             pltpu.VMEM((1, n_pix), jnp.float32),          # tcar
+            pltpu.VMEM((1, n_pix), jnp.float32),          # done latch
             pltpu.VMEM((2, 1, CTPAD, n_pix), jnp.float32),  # DMA stage x2
             pltpu.SMEM((1,), jnp.int32),                  # live flag
             pltpu.SMEM((3,), jnp.int32),                  # busy x2 + ctr
@@ -608,8 +679,9 @@ def _backward(feat, chunk_meta, ct, dct,
         grid=(feat.shape[1] // chunk,),
         in_specs=[feat_spec, ct_spec, ct_spec],
         out_specs=[dfeat_spec],
-        scratch_shapes=[pltpu.VMEM((1, 1, n_pix), jnp.float32),
-                        pltpu.VMEM((1, 1, n_pix), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, 1, n_pix), jnp.float32),   # tcar
+                        pltpu.VMEM((1, 1, n_pix), jnp.float32),   # accum
+                        pltpu.VMEM((1, 1, n_pix), jnp.float32)],  # done
     )
     kernel = functools.partial(_bwd_kernel, n_pix=n_pix, tile_x=tile_x,
                                tile_y=tile_y, grid_x=grid_x,
