@@ -33,7 +33,19 @@ def main(argv=None):
     parser.add_argument("--tanksandtemples", "-tat", default="")
     parser.add_argument("--deepblending", "-db", default="")
     parser.add_argument("--cap_max", type=int, default=1_000_000)
+    parser.add_argument("--lpips_net", default="vgg",
+                        choices=["vgg", "alex", "squeeze"])
+    parser.add_argument("--require_lpips", action="store_true",
+                        help="fail loudly if LPIPS weights are unavailable "
+                        "instead of writing null metrics")
     args = parser.parse_args(argv)
+
+    if args.require_lpips and not args.skip_metrics:
+        # Probe weights up front so a missing npz aborts BEFORE hours of
+        # training/rendering, not after (VERDICT r2 next #6).
+        from gsplat_tpu.eval.lpips import _load_weights
+
+        _load_weights(args.lpips_net)  # raises LPIPSUnavailable loudly
 
     jobs = []  # (scene, source, extra_train_flags)
     if args.mipnerf360:
@@ -78,7 +90,8 @@ def main(argv=None):
     if not args.skip_metrics:
         from gsplat_tpu.eval.metrics import evaluate
 
-        evaluate([os.path.join(args.output_path, s) for s, _, _ in jobs])
+        evaluate([os.path.join(args.output_path, s) for s, _, _ in jobs],
+                 lpips_net=args.lpips_net, require_lpips=args.require_lpips)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,8 @@ def read_image(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB")).astype(np.float32) / 255.0
 
 
-def evaluate_dir(renders_dir: str, gt_dir: str):
+def evaluate_dir(renders_dir: str, gt_dir: str, lpips_net: str = "vgg",
+                 require_lpips: bool = False):
     names = sorted(os.listdir(renders_dir))
     ssim_fn = jax.jit(losses.ssim)
     psnr_fn = jax.jit(losses.psnr)
@@ -43,13 +44,19 @@ def evaluate_dir(renders_dir: str, gt_dir: str):
         psnrs.append(float(psnr_fn(render, gt)))
         if lpips_ok:
             try:
-                lpipss.append(float(lpips(render, gt, net="vgg")))
-            except LPIPSUnavailable:
+                lpipss.append(float(lpips(render, gt, net=lpips_net)))
+            except LPIPSUnavailable as e:
+                if require_lpips:
+                    # Fail LOUDLY when the caller demanded LPIPS (VERDICT r2
+                    # next #6) instead of silently degrading to null.
+                    raise SystemExit(
+                        f"--require_lpips set but LPIPS is unavailable: {e}")
                 lpips_ok = False
     return names, ssims, psnrs, (lpipss if lpips_ok else None)
 
 
-def evaluate(model_paths):
+def evaluate(model_paths, lpips_net: str = "vgg",
+             require_lpips: bool = False):
     for scene_dir in model_paths:
         print("Scene:", scene_dir)
         full_dict, per_view_dict = {}, {}
@@ -64,7 +71,8 @@ def evaluate(model_paths):
             method_dir = os.path.join(test_dir, method)
             names, ssims, psnrs, lpipss = evaluate_dir(
                 os.path.join(method_dir, "renders"),
-                os.path.join(method_dir, "gt"))
+                os.path.join(method_dir, "gt"),
+                lpips_net=lpips_net, require_lpips=require_lpips)
             print(f"  SSIM : {np.mean(ssims):>12.7f}")
             print(f"  PSNR : {np.mean(psnrs):>12.7f}")
             if lpipss is not None:
@@ -97,8 +105,14 @@ def evaluate(model_paths):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_paths", "-m", required=True, nargs="+")
+    parser.add_argument("--lpips_net", default="vgg",
+                        choices=["vgg", "alex", "squeeze"])
+    parser.add_argument("--require_lpips", action="store_true",
+                        help="fail (exit non-zero) if LPIPS weights are "
+                        "unavailable instead of reporting null")
     args = parser.parse_args(argv)
-    evaluate(args.model_paths)
+    evaluate(args.model_paths, lpips_net=args.lpips_net,
+             require_lpips=args.require_lpips)
 
 
 if __name__ == "__main__":
