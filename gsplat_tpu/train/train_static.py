@@ -214,7 +214,9 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
         if iteration in args.test_iterations and test_cams:
             _report_eval(tb_writer, eval_step, state, test_cams, bg,
-                         sh_degree, iteration)
+                         sh_degree, iteration,
+                         train_cams=train_cams,
+                         log_gt=iteration == min(args.test_iterations))
 
         if iteration in args.save_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
@@ -231,20 +233,48 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
 
 def _report_eval(tb_writer, eval_step, state, test_cams, bg, sh_degree,
-                 iteration):
-    l1s, psnrs = [], []
-    for cam_obj in test_cams:
-        camera, gt = cam_obj.load()
-        _, l1, p = eval_step(state, camera, jnp.asarray(gt), bg, sh_degree)
-        l1s.append(float(l1))
-        psnrs.append(float(p))
-    print(f"\n[ITER {iteration}] Evaluating test: L1 {np.mean(l1s):.5f} "
-          f"PSNR {np.mean(psnrs):.2f}")
+                 iteration, train_cams=(), log_gt=False):
+    """Periodic held-out eval + TB observability at reference parity
+    (train_static.py:176-205): scalar L1/PSNR per config, up to 5 rendered
+    views per config (GT once, at the first test iteration), opacity
+    histogram, and total point count."""
+    configs = [("test", list(test_cams))]
+    if train_cams:
+        # the reference samples train views at fixed stride-5 offsets
+        sample = [train_cams[idx % len(train_cams)]
+                  for idx in range(5, 30, 5)]
+        configs.append(("train", sample))
+    for name, cams in configs:
+        l1s, psnrs = [], []
+        for vi, cam_obj in enumerate(cams):
+            camera, gt = cam_obj.load()
+            img, l1, p = eval_step(state, camera, jnp.asarray(gt), bg,
+                                   sh_degree)
+            l1s.append(float(l1))
+            psnrs.append(float(p))
+            if tb_writer and vi < 5:
+                tb_writer.add_image(
+                    f"{name}_view_{cam_obj.image_name}/render",
+                    np.clip(np.asarray(img), 0, 1), iteration,
+                    dataformats="HWC")
+                if log_gt:
+                    tb_writer.add_image(
+                        f"{name}_view_{cam_obj.image_name}/ground_truth",
+                        np.clip(np.asarray(gt), 0, 1), iteration,
+                        dataformats="HWC")
+        if name == "test":
+            print(f"\n[ITER {iteration}] Evaluating test: "
+                  f"L1 {np.mean(l1s):.5f} PSNR {np.mean(psnrs):.2f}")
+        if tb_writer:
+            tb_writer.add_scalar(f"{name}/loss_viewpoint - l1_loss",
+                                 float(np.mean(l1s)), iteration)
+            tb_writer.add_scalar(f"{name}/loss_viewpoint - psnr",
+                                 float(np.mean(psnrs)), iteration)
     if tb_writer:
-        tb_writer.add_scalar("test/loss_viewpoint - l1_loss",
-                             float(np.mean(l1s)), iteration)
-        tb_writer.add_scalar("test/loss_viewpoint - psnr",
-                             float(np.mean(psnrs)), iteration)
+        alive = np.asarray(state.alive_mask)
+        opac = np.asarray(state.get_opacity())[:, 0][alive]
+        tb_writer.add_histogram("scene/opacity_histogram", opac, iteration)
+        tb_writer.add_scalar("total_points", int(state.n_alive), iteration)
 
 
 def _prepare_output_and_logger(model_cfg: ModelConfig, args):

@@ -57,10 +57,40 @@ def mature_rest(state: swin.SwinState, adam, dump_path: str, sh_degree: int):
     return sstep.mature_and_rollover_jit(state, adam, mask)
 
 
+class StepBox:
+    """Mutable holder for the jitted steps + settings, so the hot loop can
+    regrow the duplicate budget and rebuild MID-WINDOW at the same cadence
+    as the static trainer (train_static.py loss fetch; VERDICT r2 next #5)
+    instead of only at window boundaries."""
+
+    def __init__(self, build, settings):
+        self._build = build
+        self.set_settings(settings)
+
+    def set_settings(self, settings):
+        self.settings = settings
+        self.train, self.densify, self.eval = self._build(settings)
+
+    def maybe_grow(self, num_dup: int, chunk: int) -> bool:
+        """Grow the budget on (near-)overflow; True if steps were rebuilt."""
+        if num_dup <= 0.95 * self.settings.k_dup:
+            return False
+        if num_dup > self.settings.k_dup:
+            print(f"  WARNING: duplicate budget overflowed ({num_dup} > "
+                  f"{self.settings.k_dup}); recent steps trained on "
+                  f"truncated tile lists")
+        import dataclasses as _dc
+
+        new_k = -(-int(num_dup * 1.5) // chunk) * chunk
+        self.set_settings(_dc.replace(self.settings, k_dup=new_k))
+        print(f"  duplicate budget -> {new_k} (recompiling)")
+        return True
+
+
 def train_slide_window(state, adam, scene: DynamicScene,
-                       swin_mgr: SliWinManager, steps, model_cfg, opt, args,
-                       train_step, densify, eval_step, bg, key,
-                       genesis: bool, first_iter: int = 0, ckpt_dir=None):
+                       swin_mgr: SliWinManager, box: StepBox, model_cfg,
+                       opt, args, bg, key, genesis: bool,
+                       first_iter: int = 0, ckpt_dir=None, tb_writer=None):
     total = opt.iterations
     if opt.genesis_iterations > 0 and genesis:
         total = opt.genesis_iterations
@@ -95,8 +125,8 @@ def train_slide_window(state, adam, scene: DynamicScene,
                 gt_list.append(jnp.asarray(np.ascontiguousarray(
                     gt.transpose(2, 0, 1))))
                 frame_list.append(float(cam_obj.frame))
-            # train_step is the lru-cached DP builder in this mode
-            state, adam, m = train_step(sh_degree)(
+            # box.train is the lru-cached DP builder in this mode
+            state, adam, m = box.train(sh_degree)(
                 state, adam, k_step, stack_cameras(cam_list),
                 jnp.stack(gt_list), jnp.asarray(frame_list, jnp.float32),
                 bg, jnp.asarray(it, jnp.float32))
@@ -107,7 +137,7 @@ def train_slide_window(state, adam, scene: DynamicScene,
                 random.shuffle(viewpoint_stack)
             cam_obj = viewpoint_stack.pop()
             camera, gt = cam_obj.load()
-            state, adam, m = train_step(
+            state, adam, m = box.train(
                 state, adam, k_step, camera,
                 jnp.asarray(np.ascontiguousarray(gt.transpose(2, 0, 1))),
                 bg, jnp.asarray(it, jnp.float32),
@@ -121,29 +151,37 @@ def train_slide_window(state, adam, scene: DynamicScene,
                 and it % opt.densification_interval == 0))
         if densify_now:
             key, kd = jax.random.split(key)
-            state, adam = densify(state, adam, kd,
-                                  jnp.asarray(float(swin_mgr.frame_start)),
-                                  genesis)
+            state, adam = box.densify(state, adam, kd,
+                                      jnp.asarray(float(swin_mgr.frame_start)),
+                                      genesis)
+
+        if it % 10 == 0:
+            # same cadence as the static trainer: never train long on
+            # truncated tile lists (VERDICT r2 next #5)
+            num_dup = int(m.num_dup)
+            args._dup_high_water = max(
+                getattr(args, "_dup_high_water", 0), num_dup)
+            if box.maybe_grow(num_dup, box.settings.chunk):
+                args._dup_budget = box.settings.k_dup
+            if tb_writer:
+                tb_writer.add_scalar("train_loss_patches/total_loss",
+                                     float(m.loss), it)
 
         if it % 100 == 0:
             dt = (time.time() - t_start) / 100
             t_start = time.time()
             print(f"[{swin_mgr}] it {it}: loss={float(m.loss):.5f} "
                   f"psnr={float(m.psnr):.2f} active={int(m.n_active)} "
-                  f"dup={int(m.num_dup)} {dt * 1000:.0f}ms/it")
-            if hasattr(args, "_dup_high_water"):
-                args._dup_high_water = max(args._dup_high_water,
-                                           int(m.num_dup))
-                budget = getattr(args, "_dup_budget", 0)
-                if budget and int(m.num_dup) > budget:
-                    print(f"  WARNING: duplicate budget overflowed "
-                          f"({int(m.num_dup)} > {budget}); recent steps "
-                          f"trained on truncated tile lists (budget grows "
-                          f"at the next window)")
+                  f"dup={int(m.num_dup)}/{box.settings.k_dup} "
+                  f"{dt * 1000:.0f}ms/it")
+            if tb_writer:
+                tb_writer.add_scalar("iter_time", dt * 1000, it)
 
         if it in args.test_iterations:
-            _eval_report(state, scene, swin_mgr, eval_step, bg,
-                         model_cfg.sh_degree, it, model_cfg.model_path)
+            _eval_report(state, scene, swin_mgr, box.eval, bg,
+                         model_cfg.sh_degree, it, model_cfg.model_path,
+                         tb_writer=tb_writer,
+                         log_gt=it == min(args.test_iterations))
 
         if it in args.save_iterations:
             gs_lib.save_ply(
@@ -162,19 +200,28 @@ def train_slide_window(state, adam, scene: DynamicScene,
 
 
 def _eval_report(state, scene, swin_mgr, eval_step, bg, sh_degree, it,
-                 model_path):
+                 model_path, tb_writer=None, log_gt=False):
     cams = scene.get_test_cams_at(swin_mgr.all_frames())
     if not cams:
         return
     psnr_per_frame = {}
     l1s, psnrs = [], []
-    for cam_obj in cams:
+    for vi, cam_obj in enumerate(cams):
         camera, gt = cam_obj.load()
-        _, l1, p = eval_step(state, camera, jnp.asarray(gt), bg,
-                             jnp.asarray(float(cam_obj.frame)), sh_degree)
+        img, l1, p = eval_step(state, camera, jnp.asarray(gt), bg,
+                               jnp.asarray(float(cam_obj.frame)), sh_degree)
         l1s.append(float(l1))
         psnrs.append(float(p))
         psnr_per_frame.setdefault(cam_obj.frame, []).append(float(p))
+        if tb_writer and vi < 5:
+            # up-to-5 view renders + one-time GT (train_swin.py:87-91)
+            tb_writer.add_image(f"test_view_{cam_obj.image_name}/render",
+                                np.clip(np.asarray(img), 0, 1), it,
+                                dataformats="HWC")
+            if log_gt:
+                tb_writer.add_image(
+                    f"test_view_{cam_obj.image_name}/ground_truth",
+                    np.clip(np.asarray(gt), 0, 1), it, dataformats="HWC")
     print(f"\n[ITER {it}] Evaluating test: L1 {np.mean(l1s):.5f} "
           f"PSNR {np.mean(psnrs):.2f}")
     # per-frame PSNR dump (train_swin.py:99-101)
@@ -182,6 +229,28 @@ def _eval_report(state, scene, swin_mgr, eval_step, bg, sh_degree, it,
         for frame, ps in sorted(psnr_per_frame.items()):
             f.write(f"\n[ITER {it} FRAME {frame}] eval test PSNR "
                     f"{np.mean(ps)}")
+    if tb_writer:
+        tb_writer.add_scalar("test/loss_viewpoint - l1_loss",
+                             float(np.mean(l1s)), it)
+        tb_writer.add_scalar("test/loss_viewpoint - psnr",
+                             float(np.mean(psnrs)), it)
+        # immature-pool histograms (train_swin.py:107-115): opacity plus
+        # the norms of xyz and the rigid-motion parameters
+        alive = np.asarray(state.im.alive_mask)
+        def _norm(x):
+            return np.linalg.norm(np.asarray(x)[alive], axis=-1)
+        tb_writer.add_histogram(
+            "scene/opacity_histogram",
+            np.asarray(state.im.get_opacity())[:, 0][alive], it)
+        tb_writer.add_histogram("scene/xyz_histogram",
+                                _norm(state.im.xyz), it)
+        tb_writer.add_histogram("scene/rigid_v_histogram",
+                                _norm(state.rigid_v), it)
+        tb_writer.add_histogram("scene/rigid_rotvec_histogram",
+                                _norm(state.rigid_rotvec), it)
+        tb_writer.add_histogram("scene/rigid_rotcen_histogram",
+                                _norm(state.rigid_rotcen), it)
+        tb_writer.add_scalar("total_points", int(state.im.n_alive), it)
 
 
 def training(model_cfg: ModelConfig, opt: OptimizationConfig,
@@ -244,16 +313,23 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
         return (step, sstep.make_swin_densify_step(capacity, args.swin_size),
                 sstep.make_swin_eval_step(s))
 
-    train_step, densify, eval_step = build_steps(settings)
+    box = StepBox(build_steps, settings)
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(model_cfg.model_path)
+    except ImportError:
+        print("Tensorboard not available: not logging progress")
+        tb_writer = None
     bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background
                      else [0.0, 0.0, 0.0])
     key = jax.random.PRNGKey(0)
 
     genesis = swin_mgr.frame_start == 0
     state, adam, key = train_slide_window(
-        state, adam, scene, swin_mgr, None, model_cfg, opt, args,
-        train_step, densify, eval_step, bg, key, genesis=genesis,
-        first_iter=first_iter, ckpt_dir=model_cfg.model_path)
+        state, adam, scene, swin_mgr, box, model_cfg, opt, args,
+        bg, key, genesis=genesis, first_iter=first_iter,
+        ckpt_dir=model_cfg.model_path, tb_writer=tb_writer)
 
     if args.first_frame_only:
         state, adam = mature_rest(state, adam, dump_path, model_cfg.sh_degree)
@@ -262,23 +338,13 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
         state = swin.decay_genesis(state)
     swin_mgr.tick()
 
-    import dataclasses as _dc
-
     while swin_mgr.frame_end <= swin_mgr.max_frame:
-        # adaptive duplicate budget between windows (no silent truncation)
-        if args._dup_high_water > 0.9 * settings.k_dup:
-            new_k = -(-int(args._dup_high_water * 1.5)
-                      // settings.chunk) * settings.chunk
-            settings = _dc.replace(settings, k_dup=new_k)
-            args._dup_budget = new_k
-            print(f"duplicate budget -> {new_k} (recompiling)")
-            train_step, densify, eval_step = build_steps(settings)
         state, adam = evolve(state, adam, swin_mgr, dump_path,
                              model_cfg.sh_degree)
         state, adam, key = train_slide_window(
-            state, adam, scene, swin_mgr, None, model_cfg, opt, args,
-            train_step, densify, eval_step, bg, key, genesis=False,
-            ckpt_dir=model_cfg.model_path)
+            state, adam, scene, swin_mgr, box, model_cfg, opt, args,
+            bg, key, genesis=False, ckpt_dir=model_cfg.model_path,
+            tb_writer=tb_writer)
         print(f"retiring frame #{swin_mgr.frame_start}")
         swin_mgr.tick()
 
