@@ -155,15 +155,21 @@ def main():
                                              rsettings).num_dup)
     rneed = max(int(rprobe(rscene, c)) for c in rcams)
     ralign = rsettings.chunk * 8  # chunk * SUPER (render kernel grid unit)
+    # 1.02 headroom: the probe covers the exact camera set rendered below,
+    # so the budget only needs rounding slack — every padded slot feeds the
+    # K-proportional gather/sort/kernel stages (~12% FPS at 1.1x, measured)
     rsettings = dataclasses.replace(
-        rsettings, k_dup=-(-int(rneed * 1.1) // ralign) * ralign)
+        rsettings, k_dup=-(-int(rneed * 1.02) // ralign) * ralign)
     log(f"render dup budget {rsettings.k_dup} (need {rneed})")
     render = jax.jit(lambda ps, c: rasterize(*ps, c, sh, bg,
                                              rsettings).image)
     for c in rcams:
         img = render(rscene, c)
     jax.block_until_ready(img)
-    nframes = 2 if on_cpu else 16
+    # 48 frames per window: the per-window block_until_ready sync and any
+    # dispatch ramp amortize over the window, so short windows under-report
+    # steady-state FPS (16 frames measured ~10% low vs device-trace time)
+    nframes = 2 if on_cpu else 48
     fps_windows = []
     for _ in range(3):
         t0 = time.time()

@@ -49,57 +49,66 @@ def num_sh_bases(degree: int) -> int:
     return (degree + 1) ** 2
 
 
-def eval_sh(deg: int, sh, dirs):
+def eval_sh(deg: int, sh, dirs, channel_minor: bool = False):
     """Evaluate SH at unit directions.
 
     Args:
       deg: int in [0, 4] (static).
-      sh: [..., C, (deg+1)**2] coefficients.
+      sh: [..., C, (deg+1)**2] coefficients — or [..., (deg+1)**2, C] when
+        ``channel_minor`` is True (the reference's [P, M, 3] layout; used by
+        sh_to_rgb to avoid relaying out the coefficient input, a
+        0.33 ms/frame XLA parameter copy at P=100k on v5e).
       dirs: [..., 3] unit directions.
 
     Returns [..., C]. Mirrors utils/sh_utils.py:57-112 term-for-term.
     """
     assert 0 <= deg <= 4
-    result = C0 * sh[..., 0]
+    if channel_minor:
+        def s(i):
+            return sh[..., i, :]
+    else:
+        def s(i):
+            return sh[..., i]
+    result = C0 * s(0)
     if deg > 0:
         x = dirs[..., 0:1]
         y = dirs[..., 1:2]
         z = dirs[..., 2:3]
-        result = result - C1 * y * sh[..., 1] + C1 * z * sh[..., 2] - C1 * x * sh[..., 3]
+        result = result - C1 * y * s(1) + C1 * z * s(2) - C1 * x * s(3)
         if deg > 1:
             xx, yy, zz = x * x, y * y, z * z
             xy, yz, xz = x * y, y * z, x * z
             result = (
                 result
-                + C2[0] * xy * sh[..., 4]
-                + C2[1] * yz * sh[..., 5]
-                + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6]
-                + C2[3] * xz * sh[..., 7]
-                + C2[4] * (xx - yy) * sh[..., 8]
+                + C2[0] * xy * s(4)
+                + C2[1] * yz * s(5)
+                + C2[2] * (2.0 * zz - xx - yy) * s(6)
+                + C2[3] * xz * s(7)
+                + C2[4] * (xx - yy) * s(8)
             )
             if deg > 2:
                 result = (
                     result
-                    + C3[0] * y * (3 * xx - yy) * sh[..., 9]
-                    + C3[1] * xy * z * sh[..., 10]
-                    + C3[2] * y * (4 * zz - xx - yy) * sh[..., 11]
-                    + C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[..., 12]
-                    + C3[4] * x * (4 * zz - xx - yy) * sh[..., 13]
-                    + C3[5] * z * (xx - yy) * sh[..., 14]
-                    + C3[6] * x * (xx - 3 * yy) * sh[..., 15]
+                    + C3[0] * y * (3 * xx - yy) * s(9)
+                    + C3[1] * xy * z * s(10)
+                    + C3[2] * y * (4 * zz - xx - yy) * s(11)
+                    + C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * s(12)
+                    + C3[4] * x * (4 * zz - xx - yy) * s(13)
+                    + C3[5] * z * (xx - yy) * s(14)
+                    + C3[6] * x * (xx - 3 * yy) * s(15)
                 )
                 if deg > 3:
                     result = (
                         result
-                        + C4[0] * xy * (xx - yy) * sh[..., 16]
-                        + C4[1] * yz * (3 * xx - yy) * sh[..., 17]
-                        + C4[2] * xy * (7 * zz - 1) * sh[..., 18]
-                        + C4[3] * yz * (7 * zz - 3) * sh[..., 19]
-                        + C4[4] * (zz * (35 * zz - 30) + 3) * sh[..., 20]
-                        + C4[5] * xz * (7 * zz - 3) * sh[..., 21]
-                        + C4[6] * (xx - yy) * (7 * zz - 1) * sh[..., 22]
-                        + C4[7] * xz * (xx - 3 * yy) * sh[..., 23]
-                        + C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)) * sh[..., 24]
+                        + C4[0] * xy * (xx - yy) * s(16)
+                        + C4[1] * yz * (3 * xx - yy) * s(17)
+                        + C4[2] * xy * (7 * zz - 1) * s(18)
+                        + C4[3] * yz * (7 * zz - 3) * s(19)
+                        + C4[4] * (zz * (35 * zz - 30) + 3) * s(20)
+                        + C4[5] * xz * (7 * zz - 3) * s(21)
+                        + C4[6] * (xx - yy) * (7 * zz - 1) * s(22)
+                        + C4[7] * xz * (xx - 3 * yy) * s(23)
+                        + C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)) * s(24)
                     )
     return result
 
@@ -124,8 +133,9 @@ def sh_to_rgb(deg: int, sh, means, campos):
     # zero cotangent.
     n2 = jnp.sum(d * d, axis=-1, keepdims=True)
     d = d / jnp.sqrt(jnp.maximum(n2, 1e-24))
-    # eval_sh wants [..., C, K]
-    rgb = eval_sh(deg, jnp.swapaxes(sh, -1, -2), d) + 0.5
+    # channel-minor evaluation: no [P, M, 3] -> [P, 3, M] relayout of the
+    # coefficient input (XLA copies the whole parameter per call otherwise)
+    rgb = eval_sh(deg, sh, d, channel_minor=True) + 0.5
     return jnp.maximum(rgb, 0.0)
 
 

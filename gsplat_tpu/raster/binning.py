@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from gsplat_tpu.raster.project import Preprocessed, tile_rect
-from gsplat_tpu.raster.scan_kernel import multi_cummax
+from gsplat_tpu.raster.scan_kernel import expand_scan
 
 
 class Binning(NamedTuple):
@@ -61,6 +61,12 @@ class Binning(NamedTuple):
     used: jnp.ndarray         # [P] bool — has >= 1 surviving (non-culled)
                               # duplicate; the fork's is_used flag
                               # (forward.cu:364) at tile granularity
+    seg_bounds: jnp.ndarray   # [P+1] int32: start of depth-rank r's
+                              # contiguous segment in gid-sorted slot order
+                              # (cumsum of fitting counts) — hands the
+                              # gradient reduction its segment bounds for
+                              # free (a searchsorted over 1.5M sorted gids
+                              # measured ~27 ms/step at the 1M-cap scale)
 
 
 def _owner_scan(starts, values, k: int, fill):
@@ -156,7 +162,26 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     _, order = lax.sort((depth_key, iota_p), dimension=0, num_keys=1)
     _, inv_order = lax.sort((order, iota_p), dimension=0, num_keys=1)
 
-    counts = jnp.where(active, w_rect * h_rect, 0).astype(jnp.int32)[order]
+    # All per-gaussian rect fields ride ONE u32 (minx, miny, w, h) so the
+    # reorder into depth-rank space is a single 1-column gather (separate
+    # counts/minx/rects gathers measured 0.66 + 0.14 + 0.14 ms per frame at
+    # P=100k on v5e — gather cost is per-index, so pack the columns).
+    xb = max(int(grid_x).bit_length(), 1)    # holds 0..grid_x inclusive
+    yb = max(int(grid_y).bit_length(), 1)
+    assert 2 * (xb + yb) <= 31, f"rect pack overflow: grid {grid_x}x{grid_y}"
+    w_m = jnp.where(active, w_rect, 0)
+    h_m = jnp.where(active, h_rect, 0)
+    rect_all = ((min_x << (yb + xb + yb)) | (min_y << (xb + yb))
+                | (w_m << yb) | h_m)
+    # 2-column row gather: a 1-column s32 permutation gather measured
+    # 15 ns/index on v5e where >=2-column ROW gathers run 1.7 ns/index —
+    # duplicating the column is 9x cheaper than gathering it alone.
+    rect_all_d = jnp.stack([rect_all, rect_all], 1)[order][:, 0]
+    minx_o = rect_all_d >> (yb + xb + yb)
+    miny_o = (rect_all_d >> (xb + yb)) & ((1 << yb) - 1)
+    w_o = (rect_all_d >> yb) & ((1 << xb) - 1)
+    h_o = rect_all_d & ((1 << yb) - 1)
+    counts = w_o * h_o
     # radii output keeps the reference's 3-sigma semantics (forward.cu:251):
     # zero only when the 3-sigma rect itself is empty.
     ref_rect = (rmax_x - rmin_x) * (rmax_y - rmin_y)
@@ -167,68 +192,57 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     num_dup = offsets[-1]
 
     # --- duplicate expansion: slot -> owning gaussian via marker scans ---
-    # Everything per-duplicate comes from cummax owner-scans — ZERO gathers.
-    # Arbitrary (non-monotone) per-gaussian values ride the scans packed as
-    # ((depth_rank + 1) << bits) | value: ranks strictly increase across
-    # range starts, so the cumulative max always carries the LATEST range's
-    # pack. Exactly TWO scatters (scatter cost is per COLUMN-index, ~9ns on
-    # TPU; a 4-column row scatter measured 2.4x the cost of 4 scalar
-    # scatters, and each dropped column is ~0.9ms back at P=100k):
-    #   colA = (rank+1, min_x, min_y)   colB = (rank+1, w, h)
-    # The range BASE needs no scatter: marked slots (colA > 0 pre-scan) ARE
-    # the starts, so base rides a cummax of (is_start ? slot : 0). The old
-    # next_start column is w*h arithmetic. Indices (the cumsum offsets) are
-    # ascending, so the scatters take the sorted fast path; zero-count
-    # gaussians share their successor's start and lose the max by rank.
-    g_ids = jnp.arange(p, dtype=jnp.int32)
-    rank_bits = max(int(p).bit_length(), 1)  # holds values 1..p inclusive
-    xb = max(int(grid_x).bit_length(), 1)    # holds 0..grid_x inclusive
-    yb = max(int(grid_y).bit_length(), 1)
-    assert rank_bits + xb + yb <= 31, (
-        f"pack overflow: P={p} grid={grid_x}x{grid_y}; shrink cap or grid")
-
-    # w/h masked by ``active`` so count_d == counts exactly (an inactive
-    # gaussian can still have a non-empty projected rect)
-    minx_d = jnp.stack([min_x, min_y,
-                        jnp.where(active, w_rect, 0),
-                        jnp.where(active, h_rect, 0)],
-                       1)[order]  # [P, 4] tiny row gather
-    rankp1 = (g_ids + 1) << (xb + yb)
-    rect_pack = rankp1 | (minx_d[:, 0] << yb) | minx_d[:, 1]
-    wh_pack = rankp1 | (minx_d[:, 2] << yb) | minx_d[:, 3]
-
+    # Depth-sorted actives occupy the prefix and active <=> count > 0, so
+    # the slot ranges [offsets[g], offsets[g+1]) are CONTIGUOUS: every slot
+    # d < num_dup belongs to exactly one range. Consequences (each removes
+    # work the round-2 pipeline paid for):
+    # - the in-budget test collapses to a scalar threshold d < dup_limit
+    #   (end of the last range that fully fits the budget) — no per-slot
+    #   h/count decode at all;
+    # - per-slot values need only (min_x, min_y, w) + a marker bit, carried
+    #   by a LATEST-NONZERO scan (associative — no monotone rank field in
+    #   the pack), so ONE scatter-max suffices at every scale (a scatter is
+    #   ~9 ns/index on v5e: 0.87 ms at P=100k, 8.8 ms at 1M);
+    # - the owner's depth rank is cumsum(is_start) - 1, fused into the same
+    #   Pallas pass (scan_kernel.expand_scan);
+    # - the range BASE needs no scatter: marked slots ARE the starts, so
+    #   base rides a cummax of (is_start ? slot : 0).
+    # Indices (the cumsum offsets) are ascending -> sorted scatter path.
     starts = offsets[:p]  # ascending (cumsum); >= k_dup rows drop
     fill = jnp.zeros((k_dup,), jnp.int32)  # fill must LOSE the max-scatter
-    marked_a = fill.at[starts].max(rect_pack, mode="drop",
-                                   indices_are_sorted=True)
-    marked_b = fill.at[starts].max(wh_pack, mode="drop",
-                                   indices_are_sorted=True)
     d = jnp.arange(k_dup, dtype=jnp.int32)
-    base_in = jnp.where(marked_a > 0, d, 0)
-    rect_d, wh_d, base_of_d = multi_cummax(
-        [marked_a, marked_b, base_in], interpret=interpret)
+    # marker bit on top keeps the pack nonzero even for a (0,0) rect corner
+    pack = ((1 << (2 * xb + yb)) | (minx_o << (xb + yb))
+            | (miny_o << xb) | w_o)
+    marked = fill.at[starts].max(pack, mode="drop", indices_are_sorted=True)
+    base_in = jnp.where(marked > 0, d, 0)
+    # Owner rank comes from cumsum(is_start) - 1, NOT from rank bits in the
+    # pack: the latest-nonzero combiner (associative) carries the pack
+    # without any monotone field, so ONE scatter suffices at every scale
+    # (the old cummax owner-scan needed rank in the pack's high bits and a
+    # SECOND 8.8 ms scatter at P=1M when the bits no longer fit).
+    pack_d, base_of_d, rank_d = expand_scan(marked, base_in,
+                                            interpret=interpret)
+    g_of_d = rank_d - 1
+    minx_dd = (pack_d >> (xb + yb)) & ((1 << xb) - 1)
+    miny_dd = (pack_d >> xb) & ((1 << yb) - 1)
+    w_d = pack_d & ((1 << xb) - 1)
     r = d - base_of_d
-
-    g_of_d = (rect_d >> (xb + yb)) - 1  # depth rank rides the pack
-    minx_dd = (rect_d >> yb) & ((1 << xb) - 1)
-    miny_dd = rect_d & ((1 << yb) - 1)
-    w_d = (wh_d >> yb) & ((1 << xb) - 1)
-    h_d = wh_d & ((1 << yb) - 1)
-    count_d = w_d * h_d
     w_dd = jnp.maximum(w_d, 1)
     tx = minx_dd + r % w_dd
     ty = miny_dd + r // w_dd
     tile_id = ty * grid_x + tx
 
-    # A duplicate is real iff it lies inside its gaussian's rect AND the
-    # whole rect fits in the budget (partially-fitting gaussians are dropped
-    # wholesale so the coverage histogram below stays exactly consistent
-    # with the sorted keys; overflow is reported via num_dup and the
-    # training loops regrow the budget). No per-duplicate contribution cull:
-    # the kernel's own 1/255 alpha floor drops sub-threshold contributions
-    # per pixel (forward.cu:345-346 semantics), image-identically.
-    in_budget = ((rect_d > 0) & (r < count_d)
-                 & (base_of_d + count_d <= k_dup))
+    # A duplicate is real iff its whole rect fits the budget: dup_limit is
+    # the end of the last fully-fitting contiguous range, so the straddling
+    # gaussian (if any) is dropped wholesale, keeping the coverage
+    # histogram below (masked by the same whole-rect `fits` rule) exactly
+    # consistent with the sorted keys; overflow is reported via num_dup and
+    # the training loops regrow the budget. No per-duplicate contribution
+    # cull: the kernel's own 1/255 alpha floor drops sub-threshold
+    # contributions per pixel (forward.cu:345-346 semantics).
+    dup_limit = offsets[jnp.searchsorted(offsets, k_dup, side="right") - 1]
+    in_budget = d < jnp.minimum(dup_limit, num_dup)
     dup_key = jnp.where(in_budget, tile_id, num_tiles).astype(jnp.int32)
     dup_rank = jnp.where(in_budget, g_of_d, p)
 
@@ -237,9 +251,8 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # same fully-fitting gaussians; pads only for NON-EMPTY tiles — empty
     # tiles get no slots at all)
     fits = (counts > 0) & (offsets[:p] + counts <= k_dup)
-    rects_d = jnp.stack([min_x, min_y, max_x, max_y], axis=1)[order]
-    len_t = _tile_histogram(rects_d[:, 0], rects_d[:, 1], rects_d[:, 2],
-                            rects_d[:, 3], fits, grid_x, grid_y)
+    len_t = _tile_histogram(minx_o, miny_o, minx_o + w_o, miny_o + h_o,
+                            fits, grid_x, grid_y)
     pads_t = jnp.where(len_t > 0, (-(-len_t // chunk)) * chunk - len_t, 0)
     tile_ids_2d = jnp.arange(num_tiles, dtype=jnp.int32)[:, None]
     pad_valid_2d = (jnp.arange(chunk, dtype=jnp.int32)[None, :]
@@ -291,9 +304,17 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # whole rect fits the budget == exactly the in_budget rule) — the
     # round-1 K-sized scatter from dup_rank paid ~9ns per SLOT for a fact
     # already known per gaussian. Rank -> original id is a permutation, so
-    # the reorder is a gather by the inverse, not a scatter.
-    used = fits[inv_order]
+    # the reorder is a gather by the inverse, not a scatter; gather as a
+    # 2-column s32 row (pred 1-col: 0.85 ms, s32 1-col: 0.66 ms, s32 2-col
+    # row: ~0.2 ms at P=100k on v5e — see the rect_all gather note).
+    fits_i = fits.astype(jnp.int32)
+    used = jnp.stack([fits_i, fits_i], 1)[inv_order][:, 0] > 0
+
+    seg_bounds = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(jnp.where(fits, counts, 0), dtype=jnp.int32)])
 
     return Binning(gid=gid_sorted, order=order, inv_order=inv_order,
                    tile_of_slot=tile_of_slot, chunk_meta=chunk_meta,
-                   tile_len=len_t, num_dup=num_dup, radius=radius, used=used)
+                   tile_len=len_t, num_dup=num_dup, radius=radius, used=used,
+                   seg_bounds=seg_bounds)

@@ -77,18 +77,20 @@ class RasterizeOutput(NamedTuple):
 _SEGSUM_MIN_SLOTS = 1 << 20
 
 
-def _segsum_reduce(dfeat, gid, p1: int, interpret: bool):
+def _segsum_reduce(dfeat, gid, seg_bounds, p1: int, interpret: bool):
     """dtable[r] = sum of dfeat columns with gid == r, via ONE kv-sort +
     fused Kahan cumsum + one boundary row-gather — no scatter.
 
     Everything K-sized stays in [rows, K] layout (K on lanes): a [K, 9]
     array is lane-padded 9 -> 128, so per-column slicing of it measured
     48 ms at K=2.1M. The only [*, 9]-minor arrays here are gather outputs
-    and one final diff."""
+    and one final diff. Segment bounds come precomputed from binning
+    (``Binning.seg_bounds``): a searchsorted over the sorted gids lowered
+    to sort+scatter and measured ~27 ms/step at the 1M-cap scale."""
     from gsplat_tpu.raster.scan_kernel import multi_cumsum
 
     k = gid.shape[0]
-    gs, ss = jax.lax.sort(
+    _, ss = jax.lax.sort(
         (gid, jnp.arange(k, dtype=jnp.int32)), num_keys=1)
     ds = dfeat.T[ss].T  # [9, K] columns in gid order (row gather + copy)
     cs = multi_cumsum([ds[i] for i in range(dfeat.shape[0])],
@@ -96,32 +98,34 @@ def _segsum_reduce(dfeat, gid, p1: int, interpret: bool):
     ct = jnp.concatenate(
         [jnp.zeros((dfeat.shape[0], 1), dfeat.dtype),
          jnp.stack(cs, axis=0)], axis=1).T  # [K+1, 9] inclusive, 0-led
-    bounds = jnp.searchsorted(gs, jnp.arange(p1 + 1, dtype=jnp.int32),
-                              side="left", method="sort")
+    bounds = jnp.concatenate(
+        [seg_bounds, jnp.full((1,), k, jnp.int32)])  # [p1+1]
     ctb = ct[bounds]  # [p1+1, 9] one row gather
     return ctb[1:] - ctb[:-1]  # [p1, 9]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _gather_rows_t(table, gid, p1: int, interpret: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gather_rows_t(table, gid, seg_bounds, p1: int, interpret: bool):
     """``table[gid].T`` whose TRANSPOSE picks the cheapest per-gaussian
     reduction for the scale (see _SEGSUM_MIN_SLOTS)."""
     return table[gid].T
 
 
-def _gather_rows_t_fwd(table, gid, p1, interpret):
-    return table[gid].T, gid
+def _gather_rows_t_fwd(table, gid, seg_bounds, p1, interpret):
+    return table[gid].T, (gid, seg_bounds)
 
 
-def _gather_rows_t_bwd(p1, interpret, gid, dfeat):
+def _gather_rows_t_bwd(p1, interpret, res, dfeat):
     import numpy as _np
 
+    gid, seg_bounds = res
     if gid.shape[0] >= _SEGSUM_MIN_SLOTS:
-        dtable = _segsum_reduce(dfeat, gid, p1, interpret)
+        dtable = _segsum_reduce(dfeat, gid, seg_bounds, p1, interpret)
     else:
         dtable = jnp.zeros((p1, dfeat.shape[0]), dfeat.dtype
                            ).at[gid].add(dfeat.T)
-    return dtable, _np.zeros(gid.shape, dtype=jax.dtypes.float0)
+    return (dtable, _np.zeros(gid.shape, dtype=jax.dtypes.float0),
+            _np.zeros(seg_bounds.shape, dtype=jax.dtypes.float0))
 
 
 _gather_rows_t.defvjp(_gather_rows_t_fwd, _gather_rows_t_bwd)
@@ -149,8 +153,8 @@ def _permute_rows_bwd(inv_order, dt):
 _permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
-def _slot_features(proc, gid, order, inv_order, dtype=jnp.float32,
-                   interpret=False):
+def _slot_features(proc, gid, order, inv_order, seg_bounds,
+                   dtype=jnp.float32, interpret=False):
     """[9, K_slots] RAW kernel feature rows (x, y, a, b, c, opa, rgb).
 
     ``gid`` indexes DEPTH-RANK space (binning pre-sorts by depth), so the
@@ -175,7 +179,7 @@ def _slot_features(proc, gid, order, inv_order, dtype=jnp.float32,
     # casting BEFORE the big gather halves its HBM traffic (bf16 inference)
     table = jnp.concatenate(
         [table.astype(dtype), jnp.zeros((1, 9), dtype)], axis=0)
-    return _gather_rows_t(table, gid, table.shape[0],
+    return _gather_rows_t(table, gid, seg_bounds, table.shape[0],
                           interpret)  # [9, K_slots] dense
 
 
@@ -206,7 +210,7 @@ def rasterize(
         interpret=s.interpret)
 
     feat = _slot_features(
-        proc, binn.gid, binn.order, binn.inv_order,
+        proc, binn.gid, binn.order, binn.inv_order, binn.seg_bounds,
         dtype=jnp.bfloat16 if s.inference else jnp.float32,
         interpret=s.interpret)
 

@@ -136,6 +136,103 @@ def multi_cumsum(arrays, interpret: bool = False):
     return [o.reshape(-1)[:k] for o in outs]
 
 
+def _block_carry(x, incoming):
+    """Latest-nonzero scan of a (R, 128) int32 block: out[i] = last
+    non-zero value at or before i (``incoming`` if none). 'Take the later
+    operand unless it is zero' is associative, so log-doubling works —
+    and unlike cummax it needs NO monotone rank field in the carried pack
+    (the owner-scan trick that previously forced rank bits into every
+    scattered marker, and a second scatter when they did not fit)."""
+    rows, lanes = x.shape
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    shift = 1
+    while shift < lanes:  # prefix along lanes within each row
+        rolled = jnp.where(col >= shift, jnp.roll(acc, shift, axis=1), 0)
+        acc = jnp.where(acc != 0, acc, rolled)
+        shift *= 2
+    tot = jnp.broadcast_to(acc[:, -1:], x.shape)  # per-row latest nonzero
+    row = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    pre = jnp.where(row >= 1, jnp.roll(tot, 1, axis=0), 0)  # exclusive
+    shift = 1
+    while shift < rows:
+        rolled = jnp.where(row >= shift, jnp.roll(pre, shift, axis=0), 0)
+        pre = jnp.where(pre != 0, pre, rolled)
+        shift *= 2
+    acc = jnp.where(acc != 0, acc, pre)
+    return jnp.where(acc != 0, acc, incoming)
+
+
+def _block_cumsum_i32(x):
+    """Inclusive row-major int32 cumsum of a (R, 128) block (exact)."""
+    rows, lanes = x.shape
+    col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    shift = 1
+    while shift < lanes:
+        acc = acc + jnp.where(col >= shift, jnp.roll(acc, shift, axis=1), 0)
+        shift *= 2
+    tot = jnp.broadcast_to(acc[:, -1:], x.shape)
+    row = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    pre = jnp.where(row >= 1, jnp.roll(tot, 1, axis=0), 0)
+    shift = 1
+    while shift < rows:
+        pre = pre + jnp.where(row >= shift, jnp.roll(pre, shift, axis=0), 0)
+        shift *= 2
+    return acc + pre
+
+
+def _expand_kernel(m_ref, b_ref, pack_ref, base_ref, rank_ref, carry):
+    """Fused owner-scan triple for binning's duplicate expansion:
+    pack = latest-nonzero(marks), base = cummax(base_in),
+    rank = cumsum(marks != 0) (1-based at the first start)."""
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        carry[0] = 0       # latest nonzero pack so far
+        carry[1] = 0       # running max base (slot ids are >= 0)
+        carry[2] = 0       # number of starts so far
+
+    m = m_ref[...]
+    pack = _block_carry(m, carry[0])
+    pack_ref[...] = pack
+    carry[0] = pack[_ROWS - 1, _LANES - 1]
+
+    base = jnp.maximum(_block_cummax(b_ref[...]), carry[1])
+    base_ref[...] = base
+    carry[1] = base[_ROWS - 1, _LANES - 1]
+
+    rank = _block_cumsum_i32((m != 0).astype(jnp.int32)) + carry[2]
+    rank_ref[...] = rank
+    carry[2] = rank[_ROWS - 1, _LANES - 1]
+
+
+def expand_scan(marks, base_in, interpret: bool = False):
+    """One fused pass over the slot axis for binning's expansion:
+    returns (carried pack, cummax base, 1-based owner rank) — see
+    binning.bin_gaussians. All int32, same length."""
+    k = marks.shape[0]
+    blk = _ROWS * _LANES
+    k_pad = -(-k // blk) * blk
+    mp = jnp.pad(marks, (0, k_pad - k)).reshape(k_pad // _LANES, _LANES)
+    bp = jnp.pad(base_in, (0, k_pad - k)).reshape(k_pad // _LANES, _LANES)
+
+    spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _expand_kernel,
+        grid=(k_pad // blk,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((k_pad // _LANES, _LANES),
+                                        jnp.int32)] * 3,
+        scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
+        interpret=interpret,
+    )(mp, bp)
+    return [o.reshape(-1)[:k] for o in outs]
+
+
 def multi_cummax(arrays, interpret: bool = False):
     """Inclusive cummax of each 1-D int32 array, all in one fused pass.
 

@@ -97,6 +97,9 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
     settings = make_settings(pipe, capacity)
 
     n_dp = getattr(args, "data_parallel", 1)
+    n_ps = getattr(args, "pshard", 1)
+    assert not (n_dp > 1 and n_ps > 1), (
+        "--data_parallel and --pshard are mutually exclusive modes")
     if n_dp > 1:
         assert jax.device_count() >= n_dp, (
             f"--data_parallel {n_dp} needs {n_dp} devices, "
@@ -106,11 +109,35 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
         mesh = make_mesh(n_dp)
         print(f"data-parallel training over {n_dp} devices")
+    if n_ps > 1:
+        assert jax.device_count() >= n_ps, (
+            f"--pshard {n_ps} needs {n_ps} devices, "
+            f"have {jax.device_count()}")
+        assert capacity % n_ps == 0, (
+            f"--cap_max {capacity} must be divisible by --pshard {n_ps} "
+            "(the Gaussian axis is sharded evenly)")
+        from gsplat_tpu.parallel.mesh import make_mesh
+        from gsplat_tpu.parallel.pshard import make_pshard_train_step
+
+        mesh_ps = make_mesh(n_ps, axis_name="ps")
+        print(f"P-sharded (Gaussian-axis) training over {n_ps} devices")
 
     def build_steps(s):
         if n_dp > 1:
             dp_builder = make_dp_train_step(mesh, opt, s, cameras_extent)
             return (dp_builder, step_lib.make_densify_step(capacity),
+                    step_lib.make_eval_step(s))
+        if n_ps > 1:
+            # sh_degree is static in the pshard step; cache one jitted step
+            # per degree (<= 4 compiles over a run)
+            import functools as _ft
+
+            @_ft.lru_cache(maxsize=8)
+            def ps_builder(sh):
+                return make_pshard_train_step(mesh_ps, opt, s,
+                                              cameras_extent, sh)
+
+            return (ps_builder, step_lib.make_densify_step(capacity),
                     step_lib.make_eval_step(s))
         return (step_lib.make_train_step(opt, s, cameras_extent),
                 step_lib.make_densify_step(capacity),
@@ -121,6 +148,9 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
     bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background
                      else [0.0, 0.0, 0.0], jnp.float32)
     key = jax.random.PRNGKey(0)
+    # pshard mode trains on a bare (sharded, donated) param dict; the
+    # GaussianState is re-synced for host-paced ops (densify/eval/save)
+    ps_params = state.params() if n_ps > 1 else None
 
     profile_range = getattr(args, "profile_iterations", None) or ()
     viewpoint_stack: list = []
@@ -156,6 +186,15 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
             state, adam, metrics = train_step(sh_degree)(
                 state, adam, k_step, stack_cameras(cams), jnp.stack(gts),
                 step_bg, jnp.asarray(iteration, jnp.float32))
+        elif n_ps > 1:
+            if not viewpoint_stack:
+                viewpoint_stack = list(train_cams)
+            cam_obj = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
+            camera, gt = cam_obj.load()
+            ps_params, adam, metrics = train_step(sh_degree)(
+                ps_params, state.alive_mask, adam, k_step, camera,
+                jnp.asarray(np.ascontiguousarray(gt.transpose(2, 0, 1))),
+                step_bg, iteration, int(state.n_alive))
         else:
             if not viewpoint_stack:
                 viewpoint_stack = list(train_cams)
@@ -170,7 +209,14 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
         if (opt.densify_from_iter < iteration < opt.densify_until_iter
                 and iteration % opt.densification_interval == 0):
             key, kd = jax.random.split(key)
-            state, adam = densify_step(state, adam, kd)
+            if n_ps > 1:
+                # densification runs on gathered state (host-paced, every
+                # densification_interval); params reshard on the next step
+                state, adam = densify_step(
+                    state.replace_params(ps_params), adam, kd)
+                ps_params = state.params()
+            else:
+                state, adam = densify_step(state, adam, kd)
 
         if iteration % 10 == 0:
             loss = float(metrics.loss)
@@ -211,6 +257,11 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                 tb_writer.add_scalar("iter_time", dt * 1000, iteration)
                 tb_writer.add_scalar("total_points", int(state.n_alive),
                                      iteration)
+
+        if n_ps > 1 and (iteration in args.test_iterations
+                         or iteration in args.save_iterations
+                         or iteration in args.checkpoint_iterations):
+            state = state.replace_params(ps_params)
 
         if iteration in args.test_iterations and test_cams:
             _report_eval(tb_writer, eval_step, state, test_cams, bg,
@@ -316,6 +367,12 @@ def main(argv=None):
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="train over N devices, one camera each per "
                              "step (gradients psum-averaged over the mesh)")
+    parser.add_argument("--pshard", type=int, default=1,
+                        help="shard the Gaussian axis over N devices (the "
+                             "tensor-parallel analogue): each device "
+                             "rasterizes its depth slab, grads arrive via "
+                             "the all-gather transpose (psum-scatter), "
+                             "Adam state never leaves the shard")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 

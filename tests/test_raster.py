@@ -212,8 +212,13 @@ def test_segsum_reduce_matches_scatter_add():
     k, p1 = 20_000, 700
     gid = rng.integers(0, p1, k).astype(np.int32)
     dfeat = rng.normal(size=(9, k)).astype(np.float32)
+    # segment starts in gid-sorted order (what Binning.seg_bounds carries)
+    seg_bounds = np.concatenate(
+        [[0], np.cumsum(np.bincount(gid, minlength=p1))])[:p1].astype(
+            np.int32)
     got = np.asarray(_segsum_reduce(
-        jnp.asarray(dfeat), jnp.asarray(gid), p1, interpret=True))
+        jnp.asarray(dfeat), jnp.asarray(gid), jnp.asarray(seg_bounds), p1,
+        interpret=True))
     exact = np.zeros((p1, 9), np.float64)
     np.add.at(exact, gid, dfeat.T.astype(np.float64))
     scale = np.abs(exact).max()
