@@ -43,14 +43,19 @@ def find_latest_iteration(model_path: str) -> int:
     return max(iters)
 
 
-def render_set(model_path, split, iteration, cameras, state, settings, bg):
+def render_set(model_path, split, iteration, cameras, state, settings, bg,
+               pipe: PipelineConfig | None = None):
+    pipe = pipe or PipelineConfig()
     renders_dir = os.path.join(model_path, split, f"ours_{iteration}",
                                "renders")
     gt_dir = os.path.join(model_path, split, f"ours_{iteration}", "gt")
 
     @jax.jit
     def render_one(camera):
-        out = renderer.render(camera, state, bg, settings)
+        out = renderer.render(
+            camera, state, bg, settings,
+            convert_shs_python=pipe.convert_SHs_python,
+            compute_cov3d_python=pipe.compute_cov3D_python)
         return jnp.clip(out["render"], 0.0, 1.0)
 
     for idx, cam_obj in enumerate(cameras):
@@ -82,10 +87,10 @@ def render_sets(model_cfg: ModelConfig, pipe: PipelineConfig,
                      else [0.0, 0.0, 0.0])
     if not skip_train:
         render_set(model_cfg.model_path, "train", iteration,
-                   scene.train_cameras, state, settings, bg)
+                   scene.train_cameras, state, settings, bg, pipe)
     if not skip_test:
         render_set(model_cfg.model_path, "test", iteration,
-                   scene.test_cameras, state, settings, bg)
+                   scene.test_cameras, state, settings, bg, pipe)
 
 
 def main(argv=None):
