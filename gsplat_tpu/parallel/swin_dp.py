@@ -73,7 +73,15 @@ def make_dp_swin_train_step(mesh: Mesh, opt: OptimizationConfig,
         # noise on the active immature subset, gated at the batch's FIRST
         # frame on EVERY device (the state is replicated, so the injection
         # must be device-identical; the reference injects per sampled
-        # camera, train_swin.py:244-261)
+        # camera, train_swin.py:244-261). Dose analysis: both modes run the
+        # same iteration count and inject ONCE per iteration, and the batch
+        # is drawn from the same shuffled (camera, frame) stack the
+        # single-device loop pops from (train_swin.py:111-132), so frame0
+        # has the single-device sample's marginal distribution — each
+        # gaussian's expected injections/iteration are identical. What
+        # differs is only the within-step correlation: the gradient
+        # averages n frames while the noise gates on one of them, a
+        # second-order effect on an exploration term.
         frame0 = lax.all_gather(frame_batch, axis, tiled=True)[0]
         new_state = swin.inject_noise_active(new_state, key, opt.noise_lr,
                                              xyz_lr, frame0)

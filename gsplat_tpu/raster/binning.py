@@ -59,8 +59,11 @@ class Binning(NamedTuple):
     radius: jnp.ndarray       # [P] int32 radius, empty-rect Gaussians zeroed
                               # (matches forward.cu:236-237 early-out)
     used: jnp.ndarray         # [P] bool — has >= 1 surviving (non-culled)
-                              # duplicate; the fork's is_used flag
-                              # (forward.cu:364) at tile granularity
+                              # duplicate (TILE granularity; exposed as
+                              # ``used_tile``). The fork's elementwise
+                              # is_used flag (forward.cu:364) comes from the
+                              # blend kernel's per-slot contribution counts
+                              # (rasterize.py), not from binning.
     seg_bounds: jnp.ndarray   # [P+1] int32: start of depth-rank r's
                               # contiguous segment in gid-sorted slot order
                               # (cumsum of fitting counts) — hands the

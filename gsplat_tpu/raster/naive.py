@@ -44,7 +44,8 @@ def _clamp_passthrough(x, hi):
 
 
 def blend_pixels(order, proc: Preprocessed, px, py, bg,
-                 tile_x: int, tile_y: int, grid_x: int, grid_y: int):
+                 tile_x: int, tile_y: int, grid_x: int, grid_y: int,
+                 with_used: bool = False):
     """Composite depth-ordered Gaussians over a set of pixels.
 
     Args:
@@ -52,7 +53,10 @@ def blend_pixels(order, proc: Preprocessed, px, py, bg,
       proc: Preprocessed quantities.
       px, py: [...,] pixel-center coordinates (float).
       bg: [3] background color.
-    Returns (color [..., 3], final_T [...]).
+      with_used: also return the fork's elementwise is_used flag
+        (forward.cu:364 — set iff the Gaussian composited into >= 1 of
+        the given pixels).
+    Returns (color [..., 3], final_T [...]) or (color, final_T, used [P]).
     """
     min_x, min_y, max_x, max_y = tile_rect(
         proc.xy, proc.radius, tile_x, tile_y, grid_x, grid_y)
@@ -72,23 +76,28 @@ def blend_pixels(order, proc: Preprocessed, px, py, bg,
         # forward.cu:347-352: the contribution that would push T below
         # 1e-4 is dropped and stops the pixel for good.
         viol = ok & (T * (1.0 - alpha) < T_EPS)
-        alpha = jnp.where(ok & ~viol, alpha, 0.0)
+        composited = ok & ~viol
+        alpha = jnp.where(composited, alpha, 0.0)
         C = C + proc.rgb[g] * (alpha * T)[..., None]
         T = T * (1.0 - alpha)
         done = done | viol
-        return (T, C, done), None
+        return (T, C, done), jnp.any(composited & (alpha > 0.0))
 
     T0 = jnp.ones(px.shape, dtype=jnp.float32)
     C0 = jnp.zeros(px.shape + (3,), dtype=jnp.float32)
     done0 = jnp.zeros(px.shape, dtype=bool)
-    (T, C, _), _ = lax.scan(body, (T0, C0, done0), order)
+    (T, C, _), used_in_order = lax.scan(body, (T0, C0, done0), order)
     color = C + T[..., None] * bg
+    if with_used:
+        used = jnp.zeros(order.shape, bool).at[order].set(used_in_order)
+        return color, T, used
     return color, T
 
 
 def render_naive(proc: Preprocessed, width: int, height: int, bg,
-                 tile_x: int = 8, tile_y: int = 8):
-    """Render the full image with the oracle. Returns ([H, W, 3], final_T)."""
+                 tile_x: int = 8, tile_y: int = 8, with_used: bool = False):
+    """Render the full image with the oracle. Returns ([H, W, 3], final_T)
+    (+ elementwise used [P] when ``with_used``)."""
     grid_x = -(-width // tile_x)
     grid_y = -(-height // tile_y)
     order = jnp.argsort(proc.depth)
@@ -96,4 +105,4 @@ def render_naive(proc: Preprocessed, width: int, height: int, bg,
     xs = jnp.arange(width, dtype=jnp.float32)
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
     return blend_pixels(order, proc, px, py, jnp.asarray(bg, jnp.float32),
-                        tile_x, tile_y, grid_x, grid_y)
+                        tile_x, tile_y, grid_x, grid_y, with_used=with_used)

@@ -64,9 +64,17 @@ class RasterizeOutput(NamedTuple):
                            # [3, H, W] bf16 (CHW — the reference layout,
                            # rasterize_points.cu:69)
     radii: jnp.ndarray     # [P] int32 (0 => culled)
-    is_used: jnp.ndarray   # [P] bool — Gaussian rasterized into >= 1 tile
+    is_used: jnp.ndarray   # [P] bool — composited into >= 1 PIXEL, the
+                           # fork's elementwise flag (forward.cu:364).
+                           # Training path: exact (per-contribution OR from
+                           # the kernel; the reduction is pure XLA, so it is
+                           # dead-code-eliminated when not consumed).
+                           # Inference path: tile-granular (== used_tile).
     num_dup: jnp.ndarray   # [] int32 true duplicate count (check <= k_dup)
     final_t: jnp.ndarray   # [H, W] final transmittance
+    used_tile: jnp.ndarray  # [P] bool — has >= 1 surviving duplicate
+                            # (rasterized into >= 1 tile; superset of
+                            # is_used, free from binning)
 
 
 # Above this slot count the gradient reduction routes through sort +
@@ -232,11 +240,21 @@ def rasterize(
         final_t = jnp.zeros((camera.height, camera.width), jnp.float32)
         return RasterizeOutput(image=image, radii=binn.radius,
                                is_used=binn.used, num_dup=binn.num_dup,
-                               final_t=final_t)
+                               final_t=final_t, used_tile=binn.used)
 
-    c_img, t_img = tile_kernel.tile_blend(
+    c_img, t_img, used_slot = tile_kernel.tile_blend(
         feat, binn.chunk_meta, num_tiles, n_pix,
         s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret)
+
+    # Pixel-granular is_used (forward.cu:364): OR the per-slot contribution
+    # flags by gaussian. ``gid`` lives in depth-rank space with rank P as
+    # the padding row (its slots have w == 0, so they cannot set the flag
+    # either way); the scatter-max + rank->id gather are pure XLA and cost
+    # nothing unless a consumer actually reads ``is_used``.
+    p1 = binn.order.shape[0] + 1
+    used_rank = jnp.zeros((p1,), jnp.float32).at[binn.gid].max(
+        used_slot, mode="drop")
+    is_used = used_rank[binn.inv_order] > 0.0
 
     color = assemble(c_img, 3)
     final_t = assemble(t_img, 1)[0]
@@ -245,5 +263,6 @@ def rasterize(
     if s.layout == "hwc":
         image = image.transpose(1, 2, 0)
 
-    return RasterizeOutput(image=image, radii=binn.radius, is_used=binn.used,
-                           num_dup=binn.num_dup, final_t=final_t)
+    return RasterizeOutput(image=image, radii=binn.radius, is_used=is_used,
+                           num_dup=binn.num_dup, final_t=final_t,
+                           used_tile=binn.used)

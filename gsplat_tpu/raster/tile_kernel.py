@@ -293,7 +293,7 @@ def _decode(chunk_meta, k):
     return meta >> 2, (meta >> 1) & 1, meta & 1  # tile, first, last
 
 
-def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref,
+def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref, used_ref,
                 acc_ref, tcar_ref, done_ref, stage_ref, live_ref, busy_ref,
                 pend_ref, sems,
                 *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
@@ -304,10 +304,22 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref,
     ``_alphas``), f32 accumulation in scratch; finished tiles flush a
     packed (CTPAD, n_pix) block — rows 0..2 color, row 3 transmittance,
     rows 4..7 sublane-alignment padding — with double-buffered async DMAs.
+
+    ``used_ref`` is a per-SLOT contribution count row (1, chunk * SUPER):
+    slot s > 0 iff its duplicate composited into >= 1 pixel — the exact
+    condition under which the CUDA kernel marks the fork's elementwise
+    ``is_used`` flag (forward.cu:364, set only after the alpha test and
+    the drop-the-violator stop rule both pass). The lane reduction rides
+    a ones-row bf16 matmul (a VPU axis-1 reduce would emit a (CHUNK, 1)
+    sublane vector needing a relayout); positive summands cannot round
+    to zero in bf16, so count > 0 is exact.
     """
     del ct_init_ref  # alias-initialized output; never read here
     k = pl.program_id(0)
     n_blk = pl.num_programs(0)
+    # Chunks skipped by the tile early-exit (or sentinels) contribute to
+    # no pixel: zero the whole block, live sub-chunks overwrite their slice.
+    used_ref[...] = jnp.zeros_like(used_ref)
 
     # SMEM scratch is NOT zero-initialized on hardware (interpret mode
     # zeroes it): garbage busy flags would wait on never-signaled DMA
@@ -360,6 +372,13 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref,
             # 3-channel axis on sublanes (pad 3->8, not 3->128).
             contrib = _dot_hl(v["rgb"], v["w"], (((1,), (0,)), ((), ())))
             acc_ref[...] = acc_ref[...] + contrib
+            # per-slot composited-pixel count (see docstring): w > 0 iff
+            # the contribution passed both the alpha test and the gate.
+            ones_row = jnp.ones((1, n_pix), jnp.bfloat16)
+            hit = (v["w"] > 0.0).astype(jnp.bfloat16)
+            used_ref[0:1, j * chunk:(j + 1) * chunk] = lax.dot_general(
+                ones_row, hit, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
             tcar_ref[...] = v["t_new"]
             done_new = v["done_new"]
             done_ref[...] = done_new
@@ -488,11 +507,13 @@ def _forward(feat, chunk_meta, num_tiles: int, n_pix: int,
     ct_init = jnp.zeros((num_tiles, CTPAD, n_pix), jnp.float32
                         ).at[:, 3].set(1.0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    used_spec = pl.BlockSpec((1, chunk * SUPER), lambda k, cm: (0, k),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(feat.shape[1] // (chunk * SUPER),),
         in_specs=[feat_spec, any_spec],
-        out_specs=[any_spec],
+        out_specs=[any_spec, used_spec],
         scratch_shapes=[
             pltpu.VMEM((3, n_pix), jnp.float32),          # acc
             pltpu.VMEM((1, n_pix), jnp.float32),          # tcar
@@ -507,15 +528,16 @@ def _forward(feat, chunk_meta, num_tiles: int, n_pix: int,
     kernel = functools.partial(_fwd_kernel, n_pix=n_pix, tile_x=tile_x,
                                tile_y=tile_y, grid_x=grid_x,
                                num_tiles=num_tiles, chunk=chunk)
-    (ct,) = pl.pallas_call(
+    ct, used = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((num_tiles, CTPAD, n_pix),
-                                        jnp.float32)],
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((1, feat.shape[1]), jnp.float32)],
         interpret=interpret,
         input_output_aliases={2: 0},  # (cm, feat, ct_init)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(chunk_meta, feat, ct_init)
-    return ct
+    return ct, used
 
 
 def _render_kernel(chunk_meta, feat_ref, bg_ref, c_init_ref, c_ref,
@@ -698,24 +720,26 @@ def _backward(feat, chunk_meta, ct, dct,
 def _tile_blend_packed(feat, chunk_meta, num_tiles: int, n_pix: int,
                        tile_x: int, tile_y: int, grid_x: int, chunk: int,
                        interpret: bool = False):
-    """Packed-output core: [num_tiles, CTPAD, n_pix] (rows 0-2 color,
-    row 3 transmittance, 4-7 alignment padding). Differentiating the
-    PACKED array keeps the backward kernel at two block operands (ct,
-    dct) instead of four — the cotangents of the caller's slices merge
-    into one zero-padded buffer for free."""
+    """Packed-output core: ([num_tiles, CTPAD, n_pix], used [1, K]).
+    Packed rows 0-2 color, row 3 transmittance, 4-7 alignment padding.
+    Differentiating the PACKED array keeps the backward kernel at two
+    block operands (ct, dct) instead of four — the cotangents of the
+    caller's slices merge into one zero-padded buffer for free. The
+    per-slot ``used`` counts are integer bookkeeping (zero cotangent)."""
     return _forward(feat, chunk_meta, num_tiles, n_pix, tile_x,
                     tile_y, grid_x, chunk, interpret)
 
 
 def _tile_blend_fwd(feat, chunk_meta, num_tiles, n_pix, tile_x,
                     tile_y, grid_x, chunk, interpret):
-    ct = _forward(feat, chunk_meta, num_tiles, n_pix,
-                  tile_x, tile_y, grid_x, chunk, interpret)
-    return ct, (feat, chunk_meta, ct)
+    ct, used = _forward(feat, chunk_meta, num_tiles, n_pix,
+                        tile_x, tile_y, grid_x, chunk, interpret)
+    return (ct, used), (feat, chunk_meta, ct)
 
 
 def _tile_blend_bwd(num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
-                    interpret, res, dct):
+                    interpret, res, cts):
+    dct, _dused = cts
     feat, chunk_meta, ct = res
     dfeat = _backward(feat, chunk_meta, ct, dct,
                       num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
@@ -741,8 +765,10 @@ def tile_blend(feat, chunk_meta, num_tiles: int, n_pix: int,
         non-decreasing; sentinel chunks carry tile_id == num_tiles).
     Returns:
       (color [num_tiles, 3, n_pix] — premultiplied, no background,
-       transmittance [num_tiles, 1, n_pix]).
+       transmittance [num_tiles, 1, n_pix],
+       used [K_padded] f32 — per-slot composited-pixel count, > 0 iff the
+       duplicate contributed to >= 1 pixel (forward.cu:364 semantics)).
     """
-    ct = _tile_blend_packed(feat, chunk_meta, num_tiles, n_pix, tile_x,
-                            tile_y, grid_x, chunk, interpret)
-    return ct[:, 0:3], ct[:, 3:4]
+    ct, used = _tile_blend_packed(feat, chunk_meta, num_tiles, n_pix,
+                                  tile_x, tile_y, grid_x, chunk, interpret)
+    return ct[:, 0:3], ct[:, 3:4], used[0]

@@ -40,6 +40,7 @@ from gsplat_tpu.train.config import (ModelConfig, OptimizationConfig,
                                      auto_dup_budget, extract_config,
                                      save_cfg_args)
 from gsplat_tpu.utils import checkpoint as ckpt_lib
+from gsplat_tpu.utils import debug as debug_lib
 
 
 def make_settings(pipe: PipelineConfig, cap_max: int) -> RasterizeSettings:
@@ -220,6 +221,14 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
         if iteration % 10 == 0:
             loss = float(metrics.loss)
+            # non-finite loss: dump a reproducer snapshot and abort
+            # (the reference's debug-mode snapshot_fw.dump analogue,
+            # diff_gaussian_rasterization/__init__.py:83-90)
+            debug_lib.check_finite_loss(
+                loss, iteration, model_cfg.model_path,
+                params=(ps_params if n_ps > 1 else state.params()),
+                adam=adam, key=key,
+                camera=None if n_dp > 1 else camera)
             ema_loss = 0.4 * loss + 0.6 * ema_loss
             num_dup = int(metrics.num_dup)
             if tb_writer:

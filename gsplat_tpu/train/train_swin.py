@@ -158,6 +158,12 @@ def train_slide_window(state, adam, scene: DynamicScene,
         if it % 10 == 0:
             # same cadence as the static trainer: never train long on
             # truncated tile lists (VERDICT r2 next #5)
+            from gsplat_tpu.utils import debug as debug_lib
+
+            debug_lib.check_finite_loss(
+                float(m.loss), it, model_cfg.model_path,
+                params=state.params(), adam=adam, key=key,
+                window=(swin_mgr.frame_start, swin_mgr.frame_end))
             num_dup = int(m.num_dup)
             args._dup_high_water = max(
                 getattr(args, "_dup_high_water", 0), num_dup)

@@ -99,7 +99,7 @@ def main():
             g = jax.jit(jax.grad(loss))
             print(f"  FULL fwd+bwd     {timeit(g, scene):8.2f} ms")
             # kernel-only backward (packed residual/cotangent blocks)
-            ct = tile_kernel._tile_blend_packed(
+            ct, _used = tile_kernel._tile_blend_packed(
                 feat, binn.chunk_meta, num_tiles, n_pix,
                 s.tile_x, s.tile_y, grid_x, s.chunk, False)
             dct = jnp.ones_like(ct)

@@ -205,3 +205,27 @@ def test_ssim_matches_torch_reference():
     chw = float(_ssim(jnp.asarray(a).transpose(2, 0, 1),
                       jnp.asarray(b).transpose(2, 0, 1)))
     assert abs(chw - ours) < 1e-6
+
+
+def test_debug_snapshot_dump(tmp_path):
+    """Non-finite loss aborts with a pickled reproducer snapshot (the
+    reference debug-mode snapshot_fw.dump analogue,
+    diff_gaussian_rasterization/__init__.py:83-90)."""
+    import pickle
+
+    import pytest as _pytest
+
+    from gsplat_tpu.utils import debug as debug_lib
+
+    # finite: no-op, no file
+    debug_lib.check_finite_loss(0.5, 10, str(tmp_path), params={"x": 1})
+    assert not (tmp_path / "snapshot_fw.dump").exists()
+
+    arr = jnp.arange(4.0)
+    with _pytest.raises(RuntimeError, match="snapshot"):
+        debug_lib.check_finite_loss(
+            float("nan"), 20, str(tmp_path),
+            params={"xyz": arr}, key=jax.random.PRNGKey(0))
+    snap = pickle.loads((tmp_path / "snapshot_fw.dump").read_bytes())
+    assert snap["iteration"] == 20
+    np.testing.assert_array_equal(snap["params"]["xyz"], np.arange(4.0))

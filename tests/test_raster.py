@@ -223,3 +223,83 @@ def test_segsum_reduce_matches_scatter_add():
     np.add.at(exact, gid, dfeat.T.astype(np.float64))
     scale = np.abs(exact).max()
     np.testing.assert_allclose(got / scale, exact / scale, atol=2e-6)
+
+
+def test_precomp_paths_match_fused():
+    """pipe.convert_SHs_python / pipe.compute_cov3D_python (reference
+    gaussian_renderer/__init__.py:63-83): rendering with python-side
+    precomputed colors and/or 3D covariances must be image-identical to
+    the fused in-op path."""
+    from gsplat_tpu import renderer
+    from gsplat_tpu.model.gaussians import GaussianState
+
+    means, scales, quats, opa, shs = make_scene(p=200, seed=5)
+    p = means.shape[0]
+    logit = jnp.log(opa) - jnp.log1p(-opa)
+    state = GaussianState(
+        xyz=means, features_dc=shs[:, :1], features_rest=shs[:, 1:],
+        scaling=jnp.log(scales), rotation=quats, opacity=logit[:, None],
+        n_alive=jnp.asarray(p, jnp.int32), max_sh_degree=SH_DEGREE)
+    cam = make_cam()
+
+    imgs = {}
+    for sh_py in (False, True):
+        for cov_py in (False, True):
+            out = renderer.render(cam, state, BG, SETTINGS,
+                                  convert_shs_python=sh_py,
+                                  compute_cov3d_python=cov_py)
+            imgs[(sh_py, cov_py)] = np.asarray(out["render"])
+    base = imgs[(False, False)]
+    assert base.std() > 1e-3  # non-trivial image
+    for key, img in imgs.items():
+        np.testing.assert_allclose(img, base, atol=1e-6, err_msg=str(key))
+
+
+def test_is_used_pixel_granular_occlusion():
+    """VERDICT #9 acceptance: a never-contributing Gaussian inside a
+    touched tile reports is_used=False (forward.cu:364 pixel-contribution
+    semantics) while the tile-granular used_tile stays True."""
+    # Three big near-opaque occluders in front saturate their pixels
+    # (T -> 1e-6 < 1e-4 latches done at the violator); a small splat
+    # centered behind them lands in the same (touched) tiles but can
+    # never composite anywhere in its footprint.
+    means = jnp.asarray([[0.0, 0.0, 2.0],
+                         [0.0, 0.0, 2.1],
+                         [0.0, 0.0, 2.2],
+                         [0.0, 0.0, 3.0]], jnp.float32)
+    scales = jnp.asarray([[1.0, 1.0, 1.0]] * 3 + [[0.01, 0.01, 0.01]],
+                         jnp.float32)
+    quats = jnp.asarray([[1.0, 0.0, 0.0, 0.0]] * 4, jnp.float32)
+    opa = jnp.asarray([0.999, 0.999, 0.999, 0.9], jnp.float32)
+    shs = jnp.zeros((4, (SH_DEGREE + 1) ** 2, 3), jnp.float32
+                    ).at[:, 0, :].set(1.0)
+    out = rasterize(means, scales, quats, opa, shs, make_cam(), SH_DEGREE,
+                    BG, SETTINGS)
+    used = np.asarray(out.is_used)
+    used_tile = np.asarray(out.used_tile)
+    assert used[0], "front occluder must contribute"
+    assert not used[3], "fully occluded Gaussian must be is_used=False"
+    assert used_tile[3], "it still rasterized into touched tiles"
+    assert np.asarray(out.radii)[3] > 0
+
+
+@pytest.mark.parametrize("seed,opa_hi,slack", [(0, 6.0, 0), (1, 40.0, 4)])
+def test_is_used_matches_oracle(seed, opa_hi, slack):
+    """Elementwise is_used agrees with the naive oracle's per-contribution
+    flags. The saturated scene gets a small disagreement allowance: on the
+    T*(1-alpha) ~ 1e-4 stop boundary a 1-ulp T difference between the
+    kernel's exp-of-log1p scan and the oracle's sequential products can
+    flip a marginal contribution (same boundary as the gradient test)."""
+    params = make_scene(p=300, seed=seed, opa_hi=opa_hi)
+    cam = make_cam()
+    out = run_fast(params, cam)
+    means, scales, quats, opa, shs = params
+    proc = project.preprocess(means, scales, quats, opa, shs, cam, SH_DEGREE)
+    _, _, ref_used = naive.render_naive(
+        proc, cam.width, cam.height, BG, tile_x=SETTINGS.tile_x,
+        tile_y=SETTINGS.tile_y, with_used=True)
+    got = np.asarray(out.is_used)
+    ref = np.asarray(ref_used)
+    assert (got != ref).sum() <= slack
+    # pixel-granular is a subset of tile-granular
+    assert not np.any(got & ~np.asarray(out.used_tile))
