@@ -149,7 +149,7 @@ class PShardMetrics(NamedTuple):
 
 def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
                            spatial_lr_scale: float, sh_degree: int,
-                           axis: str = "ps"):
+                           axis: str = "ps", dp_axis: str | None = None):
     """P-sharded (Gaussian-dimension, the tensor-parallel analogue) train
     step: render + loss + Adam + noise, completing SURVEY.md §2c.
 
@@ -164,6 +164,16 @@ def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
     on gathered state (it is a once-per-100-iters host-paced op).
 
     ``gt`` must arrive channel-first [3, H, W] (see step.py).
+
+    ``dp_axis``: when set, the step runs over a 2-D (dp x ps) mesh — the
+    DP/TP-composition analogue. Each dp row trains its OWN camera of the
+    batch on the same ps-sharded parameters (camera/gt gain a leading
+    dp axis, one sample per row; see dp.stack_cameras); gradients are
+    pmean'd over ``dp_axis`` before the shard-local Adam step, so the
+    update equals the camera-batch mean exactly as in parallel/dp.py while
+    parameters and optimizer state stay ps-sharded. All ps collectives
+    (slab histogram psum, parameter all-gather, gradient psum-scatter)
+    stay within a dp row.
     """
     import dataclasses as _dc
 
@@ -179,6 +189,10 @@ def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
     def per_device(params, alive, adam, key, camera: CameraParams, gt, bg,
                    iteration, n_alive_total):
         d = lax.axis_index(axis)
+        if dp_axis is not None:
+            # one (camera, gt) sample per dp row; leading axis is 1 here
+            camera = jax.tree.map(lambda x: x[0], camera)
+            gt = gt[0]
 
         def gather(x):
             g = lax.all_gather(x, axis)
@@ -238,6 +252,13 @@ def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
 
         (_, (loss, img, ll1, num_dup)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        if dp_axis is not None:
+            # camera-batch mean, exactly as parallel/dp.py; the ps-shard
+            # layout of every gradient leaf is identical across dp rows.
+            grads = jax.tree.map(lambda g: lax.pmean(g, dp_axis), grads)
+            loss = lax.pmean(loss, dp_axis)
+            ll1 = lax.pmean(ll1, dp_axis)
+            num_dup = lax.pmax(num_dup, dp_axis)
 
         xyz_lr = expon_lr(iteration,
                           opt.position_lr_init * spatial_lr_scale,
@@ -266,16 +287,20 @@ def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
         new_params = dict(new_params, xyz=new_params["xyz"] + noise)
 
         psnr = losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt, 0, 1))
+        if dp_axis is not None:
+            psnr = lax.pmean(psnr, dp_axis)
         return new_params, new_adam, PShardMetrics(
             loss=loss, l1=ll1, num_dup=lax.pmax(num_dup, axis), psnr=psnr)
 
     rep = P()
     shd = P(axis)
+    cam_spec = rep if dp_axis is None else P(dp_axis)
     from gsplat_tpu.model.optim import AdamState
     adam_spec = AdamState(mu=shd, nu=shd, count=rep)  # count is a scalar
     sharded = shard_map(
         per_device, mesh=mesh,
-        in_specs=(shd, shd, adam_spec, rep, rep, rep, rep, rep, rep),
+        in_specs=(shd, shd, adam_spec, rep, cam_spec, cam_spec, rep, rep,
+                  rep),
         out_specs=(shd, adam_spec, PShardMetrics(loss=rep, l1=rep,
                                                  num_dup=rep, psnr=rep)),
         check_vma=False)

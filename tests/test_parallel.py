@@ -274,3 +274,91 @@ def test_dp_swin_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(dp_state.params()[k]),
                                    np.asarray(ref_state.params()[k]),
                                    atol=1e-5, err_msg=k)
+
+
+def test_pshard_dp_2d_step_matches_dp():
+    """2-D (dp x ps) composed step: gradients pmean'd over the camera
+    batch while params/Adam stay Gaussian-sharded. On a 2x4 mesh with
+    TWO IDENTICAL (camera, gt) samples it must reproduce the ps=4
+    1-D P-shard step exactly (pmean of equal grads == the grads)."""
+    from gsplat_tpu.parallel.dp import stack_cameras
+    from gsplat_tpu.parallel.mesh import make_mesh_2d
+    from gsplat_tpu.parallel.pshard import make_pshard_train_step
+    from gsplat_tpu.train.config import OptimizationConfig
+
+    opt = OptimizationConfig(noise_lr=0.0)  # deterministic parity
+    settings = RasterizeSettings(k_dup=4096, tile_x=16, tile_y=16, chunk=128,
+                                 interpret=True)
+    state = _mini_state()
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, 48, 32)
+    gt = jnp.full((3, 32, 48), 0.5)
+    bg = jnp.zeros(3)
+
+    # reference: 1-D P-shard over ps=4
+    mesh1 = make_mesh(4, axis_name="ps")
+    step1 = make_pshard_train_step(mesh1, opt, settings,
+                                   spatial_lr_scale=1.0, sh_degree=1)
+    p_ref, _, m_ref = step1(jax.tree.map(jnp.copy, state.params()),
+                            state.alive_mask, optim.init(state.params()),
+                            jax.random.PRNGKey(3), cam, gt, bg, 1.0,
+                            int(state.n_alive))
+
+    mesh2 = make_mesh_2d(2, 4)
+    step2 = make_pshard_train_step(mesh2, opt, settings,
+                                   spatial_lr_scale=1.0, sh_degree=1,
+                                   dp_axis="dp")
+    cam_batch = stack_cameras([cam, cam])
+    gt_batch = jnp.stack([gt, gt])
+    p_2d, _, m_2d = step2(jax.tree.map(jnp.copy, state.params()),
+                          state.alive_mask, optim.init(state.params()),
+                          jax.random.PRNGKey(3), cam_batch, gt_batch, bg,
+                          1.0, int(state.n_alive))
+
+    np.testing.assert_allclose(float(m_2d.loss), float(m_ref.loss),
+                               rtol=1e-6)
+    for k in p_2d:
+        np.testing.assert_allclose(np.asarray(p_2d[k]),
+                                   np.asarray(p_ref[k]), atol=1e-6,
+                                   err_msg=k)
+
+
+def test_pshard_dp_2d_distinct_cameras():
+    """With distinct cameras per dp row, the 2-D step applies the
+    camera-batch MEAN gradient: loss == mean of per-camera 1-D losses and
+    the update stays bounded by the largest per-camera update."""
+    from gsplat_tpu.parallel.dp import stack_cameras
+    from gsplat_tpu.parallel.mesh import make_mesh_2d
+    from gsplat_tpu.parallel.pshard import make_pshard_train_step
+    from gsplat_tpu.train.config import OptimizationConfig
+
+    opt = OptimizationConfig(noise_lr=0.0)
+    settings = RasterizeSettings(k_dup=4096, tile_x=16, tile_y=16, chunk=128,
+                                 interpret=True)
+    state = _mini_state()
+    cams = _cams(2)
+    gts = [jnp.full((3, H, W), 0.3), jnp.full((3, H, W), 0.7)]
+    bg = jnp.zeros(3)
+
+    losses_1d = []
+    mesh1 = make_mesh(4, axis_name="ps")
+    step1 = make_pshard_train_step(mesh1, opt, settings,
+                                   spatial_lr_scale=1.0, sh_degree=1)
+    for c, g in zip(cams, gts):
+        _, _, m = step1(jax.tree.map(jnp.copy, state.params()),
+                        state.alive_mask, optim.init(state.params()),
+                        jax.random.PRNGKey(3), c, g, bg, 1.0,
+                        int(state.n_alive))
+        losses_1d.append(float(m.loss))
+
+    mesh2 = make_mesh_2d(2, 4)
+    step2 = make_pshard_train_step(mesh2, opt, settings,
+                                   spatial_lr_scale=1.0, sh_degree=1,
+                                   dp_axis="dp")
+    p_2d, _, m_2d = step2(jax.tree.map(jnp.copy, state.params()),
+                          state.alive_mask, optim.init(state.params()),
+                          jax.random.PRNGKey(3), stack_cameras(cams),
+                          jnp.stack(gts), bg, 1.0, int(state.n_alive))
+    np.testing.assert_allclose(float(m_2d.loss), np.mean(losses_1d),
+                               rtol=1e-5)
+    for k in p_2d:
+        assert np.isfinite(np.asarray(p_2d[k])).all(), k
