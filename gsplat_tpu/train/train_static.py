@@ -99,32 +99,35 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
     n_dp = getattr(args, "data_parallel", 1)
     n_ps = getattr(args, "pshard", 1)
-    assert not (n_dp > 1 and n_ps > 1), (
-        "--data_parallel and --pshard are mutually exclusive modes")
-    if n_dp > 1:
-        assert jax.device_count() >= n_dp, (
-            f"--data_parallel {n_dp} needs {n_dp} devices, "
-            f"have {jax.device_count()}")
+    if n_dp > 1 or n_ps > 1:
+        assert jax.device_count() >= n_dp * n_ps, (
+            f"--data_parallel {n_dp} x --pshard {n_ps} needs "
+            f"{n_dp * n_ps} devices, have {jax.device_count()}")
+    if n_dp > 1 and n_ps == 1:
         from gsplat_tpu.parallel.dp import make_dp_train_step, stack_cameras
         from gsplat_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_dp)
         print(f"data-parallel training over {n_dp} devices")
     if n_ps > 1:
-        assert jax.device_count() >= n_ps, (
-            f"--pshard {n_ps} needs {n_ps} devices, "
-            f"have {jax.device_count()}")
         assert capacity % n_ps == 0, (
             f"--cap_max {capacity} must be divisible by --pshard {n_ps} "
             "(the Gaussian axis is sharded evenly)")
-        from gsplat_tpu.parallel.mesh import make_mesh
+        from gsplat_tpu.parallel.mesh import make_mesh, make_mesh_2d
         from gsplat_tpu.parallel.pshard import make_pshard_train_step
 
-        mesh_ps = make_mesh(n_ps, axis_name="ps")
-        print(f"P-sharded (Gaussian-axis) training over {n_ps} devices")
+        if n_dp > 1:
+            # 2-D composed mode: camera-batch DP rows x Gaussian-shard cols
+            from gsplat_tpu.parallel.dp import stack_cameras
+
+            mesh_ps = make_mesh_2d(n_dp, n_ps)
+            print(f"2-D dp x ps training over {n_dp}x{n_ps} devices")
+        else:
+            mesh_ps = make_mesh(n_ps, axis_name="ps")
+            print(f"P-sharded (Gaussian-axis) training over {n_ps} devices")
 
     def build_steps(s):
-        if n_dp > 1:
+        if n_dp > 1 and n_ps == 1:
             dp_builder = make_dp_train_step(mesh, opt, s, cameras_extent)
             return (dp_builder, step_lib.make_densify_step(capacity),
                     step_lib.make_eval_step(s))
@@ -135,8 +138,9 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
             @_ft.lru_cache(maxsize=8)
             def ps_builder(sh):
-                return make_pshard_train_step(mesh_ps, opt, s,
-                                              cameras_extent, sh)
+                return make_pshard_train_step(
+                    mesh_ps, opt, s, cameras_extent, sh,
+                    dp_axis="dp" if n_dp > 1 else None)
 
             return (ps_builder, step_lib.make_densify_step(capacity),
                     step_lib.make_eval_step(s))
@@ -170,7 +174,7 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
         key, k_step, k_bg = jax.random.split(key, 3)
         step_bg = (jax.random.uniform(k_bg, (3,)) if opt.random_background
                    else bg)
-        if n_dp > 1:
+        if n_dp > 1 and n_ps == 1:
             # one camera per device per step; gradients psum-averaged
             from gsplat_tpu.parallel.dp import stack_cameras
 
@@ -188,14 +192,31 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                 state, adam, k_step, stack_cameras(cams), jnp.stack(gts),
                 step_bg, jnp.asarray(iteration, jnp.float32))
         elif n_ps > 1:
-            if not viewpoint_stack:
-                viewpoint_stack = list(train_cams)
-            cam_obj = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
-            camera, gt = cam_obj.load()
+            if n_dp > 1:
+                # 2-D mode: one camera per dp row (gradient pmean over dp)
+                from gsplat_tpu.parallel.dp import stack_cameras
+
+                cams, gts = [], []
+                for _ in range(n_dp):
+                    if not viewpoint_stack:
+                        viewpoint_stack = list(train_cams)
+                    c, g = viewpoint_stack.pop(
+                        randint(0, len(viewpoint_stack) - 1)).load()
+                    cams.append(c)
+                    gts.append(jnp.asarray(np.ascontiguousarray(
+                        g.transpose(2, 0, 1))))
+                camera, gt_dev = stack_cameras(cams), jnp.stack(gts)
+            else:
+                if not viewpoint_stack:
+                    viewpoint_stack = list(train_cams)
+                cam_obj = viewpoint_stack.pop(
+                    randint(0, len(viewpoint_stack) - 1))
+                camera, gt = cam_obj.load()
+                gt_dev = jnp.asarray(np.ascontiguousarray(
+                    gt.transpose(2, 0, 1)))
             ps_params, adam, metrics = train_step(sh_degree)(
                 ps_params, state.alive_mask, adam, k_step, camera,
-                jnp.asarray(np.ascontiguousarray(gt.transpose(2, 0, 1))),
-                step_bg, iteration, int(state.n_alive))
+                gt_dev, step_bg, iteration, int(state.n_alive))
         else:
             if not viewpoint_stack:
                 viewpoint_stack = list(train_cams)
@@ -228,7 +249,7 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                 loss, iteration, model_cfg.model_path,
                 params=(ps_params if n_ps > 1 else state.params()),
                 adam=adam, key=key,
-                camera=None if n_dp > 1 else camera)
+                camera=None if (n_dp > 1 and n_ps == 1) else camera)
             ema_loss = 0.4 * loss + 0.6 * ema_loss
             num_dup = int(metrics.num_dup)
             if tb_writer:

@@ -126,3 +126,25 @@ def test_train_static_pshard(blender_scene, tmp_path):
 
     data = read_ply(ply)
     assert np.isfinite(data["x"]).all()
+
+
+def test_train_static_dp_x_pshard(blender_scene, tmp_path):
+    """CLI 2-D composed mode (--data_parallel 2 --pshard 4): camera-batch
+    DP rows x Gaussian-shard columns on the virtual 8-device mesh."""
+    out = str(tmp_path / "model_2d")
+    from gsplat_tpu.train.train_static import main as train_main
+
+    train_main([
+        "-s", str(blender_scene), "-m", out,
+        "--iterations", "6", "--cap_max", "64", "--init_pts", "32",
+        "--test_iterations", "4", "--save_iterations", "6",
+        "--densify_from_iter", "2", "--densify_until_iter", "5",
+        "--densification_interval", "2",
+        "--dup_budget", "4096", "--data_parallel", "2", "--pshard", "4",
+    ])
+    ply = os.path.join(out, "point_cloud/iteration_6/point_cloud.ply")
+    assert os.path.exists(ply)
+    from gsplat_tpu.data.ply import read_ply
+
+    data = read_ply(ply)
+    assert np.isfinite(data["x"]).all()
