@@ -207,3 +207,92 @@ def test_oracle_matches_golden_vectors(scene, cam, oracle):
     np.testing.assert_array_equal(oracle["pre"]["radii"], g["radii"])
     np.testing.assert_array_equal(oracle["n_contrib"], g["n_contrib"])
     np.testing.assert_array_equal(oracle["is_used"], g["is_used"])
+
+
+def test_is_used_matches_cuda_port(scene, cam, oracle):
+    """Elementwise is_used (forward.cu:364) against the independent port:
+    a flag set only when a contribution actually composites."""
+    out = run_fast(scene, cam)
+    got = np.asarray(out.is_used).astype(np.int32)
+    ref = oracle["is_used"].astype(np.int32)
+    # marginal contributions on the T*(1-alpha) ~ 1e-4 boundary may flip
+    # with 1-ulp T differences; allow a couple
+    assert (got != ref).sum() <= 2
+    assert got.sum() > 0.3 * len(got)
+
+
+def test_gradients_match_cuda_backward_port(scene, cam):
+    """Full-chain gradient parity against the independent numpy
+    transliteration of backward.cu (renderCUDA backward + computeCov2DCUDA
+    with its clamp-masked x/y_grad_mul + computeCov3D + SH backward with
+    the PyTorch clamp rule). Pins the clamp-masked gradient semantics the
+    round-2 verdict flagged as unverifiable by self-referential tests.
+
+    Rotation gradients: the CUDA kernel returns dL/d(normalized q)
+    (dnormvdv commented out, backward.cu:340); the reference's end-to-end
+    torch chain then applies the normalize-activation VJP. Our rasterize
+    normalizes internally, so at |q| == 1 its grad equals the tangential
+    projection (I - qq^T) of the kernel's — compare after projecting."""
+    means, scales, quats, opa, shs = map(np.copy, scene)
+    # a BIG splat beyond the 1.3*tanfov guard band whose 3-sigma rect still
+    # reaches the screen: visible (radii > 0) with x_grad_mul == 0, so the
+    # clamp-masked mean gradient (backward.cu:175-176) is actually hit
+    means[-3] = [1.9, 0.0, 2.5]
+    scales[-3] = 0.5
+    opa[-3] = 0.9
+    scene = (means, scales, quats, opa, shs)
+    rng = np.random.default_rng(11)
+    dl_img = rng.normal(size=(HEIGHT, WIDTH, 3)).astype(np.float32)
+
+    def loss(ms, sc, qu, op, sh):
+        out = rasterize(ms, sc, qu, op, sh, cam, SH_DEGREE,
+                        jnp.asarray(BG), SETTINGS)
+        return jnp.sum(out.image * dl_img)
+
+    g_means, g_scales, g_quats, g_opa, g_shs = jax.grad(
+        loss, argnums=(0, 1, 2, 3, 4))(*map(jnp.asarray, scene))
+
+    view_flat, proj_flat, campos = cam_arrays(cam)
+    ref = refp.backward_full(
+        means, scales, quats, opa, shs, SH_DEGREE, view_flat, proj_flat,
+        campos, cam.width, cam.height, float(cam.tan_fovx),
+        float(cam.tan_fovy), BG, np.transpose(dl_img, (2, 0, 1)))
+
+    # the clamp-masked paths must actually fire for this to test them
+    pre = refp.preprocess(means, scales, quats, opa, shs, SH_DEGREE,
+                          view_flat, proj_flat, campos, cam.width,
+                          cam.height, float(cam.tan_fovx),
+                          float(cam.tan_fovy))
+    assert pre["clamped"].sum() > 0, "SH clamp path not exercised"
+    vis = pre["radii"] > 0
+    t_view = np.stack([refp.transform_point_4x3(m, view_flat)
+                       for m in means])
+    off_axis = (np.abs(t_view[:, 0] / t_view[:, 2])
+                > 1.3 * float(cam.tan_fovx)) & vis
+    assert off_axis.sum() > 0, "x_grad_mul clamp path not exercised"
+
+    q = quats / np.linalg.norm(quats, axis=1, keepdims=True)
+    ref_rot = ref["dl_drots"] - q * np.sum(q * ref["dl_drots"], axis=1,
+                                           keepdims=True)
+
+    def close(got, want, name, rel=5e-4):
+        # On the T*(1-alpha) ~ 1e-4 stop boundary a 1-ulp T disagreement
+        # between the oracle's sequential products and the kernel's
+        # exp-of-log1p scan flips one contribution's gate, shifting that
+        # gaussian's grad discontinuously (same boundary as
+        # tests/test_raster.py::test_gradients_match_oracle). Allow a
+        # fraction of a percent of such flips at a looser cap; everything
+        # else must meet ``rel`` of the leaf's max magnitude.
+        got = np.asarray(got)
+        scale = np.abs(want).max() + 1e-20
+        diff = np.abs(got - want) / scale
+        n_out = (diff > rel).sum()
+        assert n_out <= max(1, int(0.005 * diff.size)), (
+            name, n_out, float(diff.max()))
+        assert diff.max() < 5e-2, (name, float(diff.max()))
+
+    close(g_means, ref["dl_dmeans"], "means")
+    close(g_scales, ref["dl_dscales"], "scales")
+    close(g_quats, ref_rot, "rotations")
+    close(g_opa, ref["dl_dopacity"], "opacity")
+    close(g_shs, ref["dl_dshs"], "shs")
