@@ -163,6 +163,11 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
     last_metrics = None
     t_start = time.time()
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        if iteration == getattr(args, "debug_from", -1):
+            # arm runtime NaN localization from here on (reference
+            # semantics: debug checks start at debug_from)
+            jax.config.update("jax_debug_nans", True)
+            print(f"debug: jax_debug_nans armed at iteration {iteration}")
         if profile_range and iteration == profile_range[0]:
             jax.profiler.start_trace(os.path.join(model_cfg.model_path,
                                                   "profile"))
@@ -410,7 +415,11 @@ def main(argv=None):
     opt = extract_config(args, OptimizationConfig)
     pipe = extract_config(args, PipelineConfig)
     print("Optimizing " + model_cfg.model_path)
-    if args.detect_anomaly:
+    # --detect_anomaly and --debug/--debug_from 0 both map to runtime NaN
+    # localization (the XLA analogue of the reference's per-call
+    # cudaDeviceSynchronize error checks, auxiliary.h:166-173); a nonzero
+    # --debug_from arms it lazily from that iteration (see training loop).
+    if args.detect_anomaly or pipe.debug or args.debug_from == 0:
         jax.config.update("jax_debug_nans", True)
     training(model_cfg, opt, pipe, args)
     print("\nTraining complete.")

@@ -100,6 +100,9 @@ def train_slide_window(state, adam, scene: DynamicScene,
     n_dp = getattr(args, "data_parallel", 1)
     t_start = time.time()
     for it in range(first_iter + 1, total + 1):
+        if it == getattr(args, "debug_from", -1):
+            jax.config.update("jax_debug_nans", True)
+            print(f"debug: jax_debug_nans armed at iteration {it}")
         sh_degree = (min(it // 1000, model_cfg.sh_degree) if genesis
                      else model_cfg.sh_degree)
         key, k_step = jax.random.split(key)
@@ -391,6 +394,10 @@ def main(argv=None):
     opt = extract_config(args, OptimizationConfig)
     pipe = extract_config(args, PipelineConfig)
     print("Optimizing " + model_cfg.model_path)
+    if args.detect_anomaly or pipe.debug or args.debug_from == 0:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     training(model_cfg, opt, pipe, args)
     print("\nTraining complete.")
 
