@@ -99,7 +99,8 @@ def make_dp_train_step(mesh: Mesh, opt: OptimizationConfig,
         new_params, new_adam = optim.step(state.params(), grads, adam, lrs)
         new_state = state.replace_params(new_params)
         new_state = mcmc.inject_noise(new_state, key, opt.noise_lr, xyz_lr)
-        psnr = losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt, 0, 1))
+        psnr = losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt, 0, 1),
+                           channel_axis=0)
         return new_state, new_adam, DPMetrics(
             loss=loss, l1=lax.pmean(ll1, axis),
             num_dup=lax.pmax(num_dup, axis),

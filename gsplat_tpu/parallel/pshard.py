@@ -286,7 +286,8 @@ def make_pshard_train_step(mesh: Mesh, opt, settings: RasterizeSettings,
         noise = jnp.where(alive[:, None], noise, 0.0)
         new_params = dict(new_params, xyz=new_params["xyz"] + noise)
 
-        psnr = losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt, 0, 1))
+        psnr = losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt, 0, 1),
+                           channel_axis=0)
         if dp_axis is not None:
             psnr = lax.pmean(psnr, dp_axis)
         return new_params, new_adam, PShardMetrics(

@@ -85,7 +85,8 @@ def make_dp_swin_train_step(mesh: Mesh, opt: OptimizationConfig,
         frame0 = lax.all_gather(frame_batch, axis, tiled=True)[0]
         new_state = swin.inject_noise_active(new_state, key, opt.noise_lr,
                                              xyz_lr, frame0)
-        psnr = losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt, 0, 1))
+        psnr = losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt, 0, 1),
+                           channel_axis=0)
         return new_state, new_adam, SwinMetrics(
             loss=loss, l1=lax.pmean(ll1, axis),
             num_dup=lax.pmax(num_dup, axis),

@@ -33,10 +33,20 @@ def mse(pred, gt):
     return jnp.mean((pred - gt) ** 2)
 
 
-def psnr(pred, gt):
-    """20*log10(1/sqrt(mse)) per image (utils/image_utils.py:17-19)."""
-    m = jnp.mean((pred - gt) ** 2)
-    return 20.0 * jnp.log10(1.0 / jnp.sqrt(m))
+def psnr(pred, gt, channel_axis: int | None = None):
+    """20*log10(1/sqrt(mse)) (utils/image_utils.py:14-19).
+
+    The reference's psnr flattens per pred.shape[0] row: its TRAINER calls
+    it on [3, H, W] images (train_static.py:197), yielding the MEAN OF
+    PER-CHANNEL PSNRs, while metrics.py calls it on [1, 3, H, W] batches,
+    yielding whole-image PSNR. Pass ``channel_axis`` for the trainer
+    semantics; default is whole-image (the metrics.py call site)."""
+    if channel_axis is None:
+        m = jnp.mean((pred - gt) ** 2)
+        return 20.0 * jnp.log10(1.0 / jnp.sqrt(m))
+    axes = tuple(a for a in range(pred.ndim) if a != channel_axis % pred.ndim)
+    m = jnp.mean((pred - gt) ** 2, axis=axes)
+    return jnp.mean(20.0 * jnp.log10(1.0 / jnp.sqrt(m)))
 
 
 @functools.lru_cache()

@@ -99,7 +99,8 @@ def make_train_step(opt: OptimizationConfig, settings: RasterizeSettings,
 
         metrics = StepMetrics(loss=loss, l1=ll1, num_dup=num_dup,
                               psnr=losses.psnr(jnp.clip(img, 0, 1),
-                                               jnp.clip(gt_image, 0, 1)))
+                                               jnp.clip(gt_image, 0, 1),
+                                               channel_axis=0))
         return new_state, new_adam, metrics
 
     return train_step
@@ -128,6 +129,10 @@ def make_eval_step(settings: RasterizeSettings):
             sh_degree, bg, settings, alive=state.alive_mask)
         img = jnp.clip(out.image, 0.0, 1.0)
         gt = jnp.clip(gt_image, 0.0, 1.0)
-        return img, losses.l1_loss(img, gt), losses.psnr(img, gt)
+        # trainer-report psnr semantics = mean of per-channel PSNRs
+        # (train_static.py:197); the channel axis follows the layout
+        ch = 0 if settings.layout == "chw" else -1
+        return img, losses.l1_loss(img, gt), losses.psnr(img, gt,
+                                                         channel_axis=ch)
 
     return eval_step

@@ -123,7 +123,8 @@ def make_swin_train_step(opt: OptimizationConfig,
                                              xyz_lr, frame)
         return new_state, new_adam, SwinMetrics(
             loss=loss, l1=ll1, num_dup=num_dup,
-            psnr=losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt_image, 0, 1)),
+            psnr=losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt_image, 0, 1),
+                             channel_axis=0),
             n_active=n_active)
 
     return swin_train_step
@@ -154,7 +155,11 @@ def make_swin_eval_step(settings: RasterizeSettings):
                         settings, alive=kw["alive"])
         img = jnp.clip(out.image, 0.0, 1.0)
         gt = jnp.clip(gt_image, 0.0, 1.0)
-        return img, losses.l1_loss(img, gt), losses.psnr(img, gt)
+        # trainer-report psnr semantics = mean of per-channel PSNRs
+        # (train_swin.py:99-101); the channel axis follows the layout
+        ch = 0 if settings.layout == "chw" else -1
+        return img, losses.l1_loss(img, gt), losses.psnr(img, gt,
+                                                         channel_axis=ch)
 
     return eval_step
 
