@@ -154,3 +154,53 @@ def test_cudaport_fixture_is_intact():
     ).hexdigest()[:16]
     assert digest == open(os.path.join(CUDAPORT_FIXTURE,
                                        "r0.sha")).read().strip()
+
+
+DYN_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "quality_cudaport_dyn")
+
+
+def test_swin_training_against_independent_dynamic_gt(tmp_path):
+    """Sliding-window quality gate with fully INDEPENDENT dynamic GT: the
+    fixture's per-frame Gaussian poses come from the reference's own
+    executed tempo_utils.rigid_deform and the pixels from the CUDA-port
+    oracle renderer (scripts/gen_cudaport_dynamic_fixture.py) — no
+    gsplat_tpu renderer or deformation code produced them. Convergence
+    validates the full swin pipeline (genesis, decay, evolve/mature/
+    rollover, rigid-motion fitting) against the reference's semantics.
+
+    Calibrated: 20.6 dB mean over the final eval entries on CPU."""
+    import re
+
+    from gsplat_tpu.train.train_swin import main as swin_main
+
+    out = str(tmp_path / "model")
+    swin_main([
+        "-s", DYN_FIXTURE, "-m", out,
+        "--iterations", "150", "--genesis_iterations", "300",
+        "--cap_max", "320", "--init_pts", "160", "--init_type", "sfm",
+        "--max_frame", "4", "--swin_size", "2", "--deform",
+        "--densify_from_iter", "20", "--densify_until_iter", "140",
+        "--densification_interval", "30",
+        "--test_iterations", "100", "--save_iterations", "-1",
+        "--dup_budget", "8192",
+    ])
+    txt = open(os.path.join(out, "psnr.txt")).read()
+    vals = [float(m) for m in re.findall(r"PSNR ([0-9.]+)", txt)]
+    assert len(vals) >= 4, txt
+    tail = float(np.mean(vals[-4:]))
+    assert tail >= 17.5, (
+        f"swin PSNR vs independent dynamic GT regressed: {tail:.2f} dB "
+        f"< 17.5 gate (entries: {[f'{v:.2f}' for v in vals]})")
+
+
+def test_dyn_fixture_is_intact():
+    import hashlib
+
+    assert os.path.exists(os.path.join(DYN_FIXTURE, "cam.json"))
+    assert os.path.exists(os.path.join(DYN_FIXTURE, "sfm.bin"))
+    digest = hashlib.sha256(
+        open(os.path.join(DYN_FIXTURE, "images_per_frame", "0",
+                          "camera_00.png"), "rb").read()).hexdigest()[:16]
+    assert digest == open(os.path.join(DYN_FIXTURE,
+                                       "r0.sha")).read().strip()
