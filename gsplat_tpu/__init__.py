@@ -20,7 +20,8 @@ Design notes (vs. the reference):
   growth/relocation are masked scatters, not tensor re-allocation
   (reference: scene/gaussian_model_static.py:302-392 optimizer surgery).
 - The rasterizer is a composition of a differentiable pure-jnp preprocess,
-  an integer binning step (depth sort + tile expansion via searchsorted),
+  an integer binning step (depth sort + one-scatter marker expansion
+  with fused Pallas scans),
   and a Pallas per-tile alpha-blend kernel with a custom VJP.
 """
 
