@@ -51,20 +51,23 @@ def _resolve_resolution(orig_w: int, orig_h: int, resolution_scale: float,
     """Resolution policy of scene/cameras.py:149-169. Returns (w, h, downscale)."""
     global _WARNED
     if args_resolution in (1, 2, 4, 8):
+        # the reference ROUNDS in this branch but TRUNCATES in the other
+        # (camera_utils.py:23 round vs :39 int) — keep both quirks
         downscale = resolution_scale * args_resolution
-    else:
-        if args_resolution == -1:
-            if orig_w > 1600:
-                if not _WARNED:
-                    print("[ INFO ] Large input images (>1.6K width); "
-                          "rescaling to 1.6K. Use --resolution 1 to disable.")
-                    _WARNED = True
-                width_scale = orig_w / 1600
-            else:
-                width_scale = 1
+        return (round(orig_w / downscale), round(orig_h / downscale),
+                downscale)
+    if args_resolution == -1:
+        if orig_w > 1600:
+            if not _WARNED:
+                print("[ INFO ] Large input images (>1.6K width); "
+                      "rescaling to 1.6K. Use --resolution 1 to disable.")
+                _WARNED = True
+            width_scale = orig_w / 1600
         else:
-            width_scale = orig_w / args_resolution
-        downscale = float(width_scale) * float(resolution_scale)
+            width_scale = 1
+    else:
+        width_scale = orig_w / args_resolution
+    downscale = float(width_scale) * float(resolution_scale)
     return int(orig_w / downscale), int(orig_h / downscale), downscale
 
 

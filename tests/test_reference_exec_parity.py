@@ -279,3 +279,84 @@ def test_config_defaults_match_reference_argparse():
             got = getattr(ours[name], key)
             assert got == ref_default, (
                 f"{name}.{key}: ours={got!r} reference={ref_default!r}")
+
+
+# ----------------------------------------------------------------- cameras
+
+
+def test_loadcam_resolution_and_matrices_match_reference(tmp_path):
+    """Execute the reference's loadCam (scene/cameras.py Camera + the
+    camera_utils resolution policy) on PIL images of awkward sizes and
+    compare the resulting image resolution AND the camera tensors
+    (world_view_transform / full_proj_transform / camera_center) against
+    our LazyCamera load. Catches truncation-vs-rounding drift (the
+    reference ROUNDS for -r in {1,2,4,8} but TRUNCATES otherwise)."""
+    import types
+
+    from PIL import Image
+
+    # scene/__init__.py needs plyfile (absent); register scene.cameras
+    # standalone so camera_utils' ``from scene.cameras import Camera``
+    # resolves without importing the package initializer
+    sys.path.insert(0, REF_ROOT)
+    try:
+        pkg = types.ModuleType("scene")
+        pkg.__path__ = [os.path.join(REF_ROOT, "scene")]
+        sys.modules.setdefault("scene", pkg)
+        spec = importlib.util.spec_from_file_location(
+            "scene.cameras", os.path.join(REF_ROOT, "scene", "cameras.py"))
+        cams_mod = importlib.util.module_from_spec(spec)
+        sys.modules["scene.cameras"] = cams_mod
+        spec.loader.exec_module(cams_mod)
+        ref_cu = _load("utils/camera_utils.py", "ref_camera_utils")
+    finally:
+        sys.path.remove(REF_ROOT)
+
+    from gsplat_tpu.data.cameras import CameraInfo, LazyCamera
+
+    rng = np.random.default_rng(0)
+    R = np.eye(3)
+    T = np.array([0.1, -0.2, 3.0])
+    fovx, fovy = 0.9, 0.7
+
+    for (ow, oh), res, rs in [((1003, 755), 2, 1.0), ((1003, 755), 4, 2.0),
+                              ((1700, 900), -1, 1.0), ((642, 480), 321, 1.0),
+                              ((642, 481), 1, 1.0)]:
+        img_path = str(tmp_path / f"im_{ow}x{oh}_{res}_{rs}.png")
+        arr = rng.integers(0, 255, size=(oh, ow, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_path)
+
+        ref_info = types.SimpleNamespace(
+            uid=0, R=R, T=T, FovX=fovx, FovY=fovy,
+            image=Image.open(img_path), image_name="im", extra_para=None)
+        ref_args = types.SimpleNamespace(resolution=res, data_device="cpu")
+        # Camera hardcodes .cuda() on its matrices (scene/cameras.py:63-70)
+        import torch
+
+        orig_cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        try:
+            ref_cam = ref_cu.loadCam(ref_args, 0, ref_info, rs)
+        finally:
+            torch.Tensor.cuda = orig_cuda
+
+        info = CameraInfo(uid=0, R=R, T=T, fovx=fovx, fovy=fovy,
+                          image_path=img_path, image_name="im",
+                          width=ow, height=oh)
+        cam, img = LazyCamera(info, resolution_scale=rs,
+                              args_resolution=res).load()
+
+        assert (ref_cam.image_width, ref_cam.image_height) == \
+            (cam.width, cam.height), (ow, oh, res, rs)
+        assert img.shape[:2] == (cam.height, cam.width)
+
+        # camera tensors: reference stores the math matrices TRANSPOSED
+        np.testing.assert_allclose(
+            np.asarray(cam.view).T, ref_cam.world_view_transform.numpy(),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(cam.full_proj).T,
+            ref_cam.full_proj_transform.numpy(), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(cam.cam_pos), ref_cam.camera_center.numpy(),
+            atol=1e-5)
