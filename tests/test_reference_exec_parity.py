@@ -319,12 +319,15 @@ def test_loadcam_resolution_and_matrices_match_reference(tmp_path):
     T = np.array([0.1, -0.2, 3.0])
     fovx, fovy = 0.9, 0.7
 
-    for (ow, oh), res, rs in [((1003, 755), 2, 1.0), ((1003, 755), 4, 2.0),
-                              ((1700, 900), -1, 1.0), ((642, 480), 321, 1.0),
-                              ((642, 481), 1, 1.0)]:
+    for (ow, oh), res, rs, rgba in [((1003, 755), 2, 1.0, False),
+                                    ((1003, 755), 4, 2.0, False),
+                                    ((1700, 900), -1, 1.0, False),
+                                    ((642, 480), 321, 1.0, False),
+                                    ((642, 481), 1, 1.0, True)]:
         img_path = str(tmp_path / f"im_{ow}x{oh}_{res}_{rs}.png")
-        arr = rng.integers(0, 255, size=(oh, ow, 3)).astype(np.uint8)
-        Image.fromarray(arr).save(img_path)
+        ch = 4 if rgba else 3
+        arr = rng.integers(0, 255, size=(oh, ow, ch)).astype(np.uint8)
+        Image.fromarray(arr, "RGBA" if rgba else "RGB").save(img_path)
 
         ref_info = types.SimpleNamespace(
             uid=0, R=R, T=T, FovX=fovx, FovY=fovy,
@@ -349,6 +352,23 @@ def test_loadcam_resolution_and_matrices_match_reference(tmp_path):
         assert (ref_cam.image_width, ref_cam.image_height) == \
             (cam.width, cam.height), (ow, oh, res, rs)
         assert img.shape[:2] == (cam.height, cam.width)
+        # pixel-exact GT (same PIL resize). RGBA: the reference's
+        # alpha-mask branch NEVER fires — loadCam tests
+        # ``resized_image_rgb.shape[1] == 4`` (camera_utils.py:46), which
+        # is the HEIGHT after the CHW permute, an upstream bug — so its
+        # Camera keeps raw RGB. We implement the INTENDED gt_alpha_mask
+        # premultiply (scene/cameras.py:51-52); assert both facts.
+        ref_px = ref_cam.original_image.numpy()
+        if rgba:
+            with Image.open(img_path) as im_chk:
+                alpha = (np.asarray(im_chk.convert("RGBA"))[:, :, 3:4]
+                         .astype(np.float32) / 255.0)
+            np.testing.assert_allclose(
+                img, ref_px.transpose(1, 2, 0) * alpha, atol=1e-6)
+        else:
+            np.testing.assert_allclose(
+                img.transpose(2, 0, 1), ref_px, atol=1e-6,
+                err_msg=str((ow, oh, res, rs)))
 
         # camera tensors: reference stores the math matrices TRANSPOSED
         np.testing.assert_allclose(
