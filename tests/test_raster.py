@@ -303,3 +303,49 @@ def test_is_used_matches_oracle(seed, opa_hi, slack):
     assert (got != ref).sum() <= slack
     # pixel-granular is a subset of tile-granular
     assert not np.any(got & ~np.asarray(out.used_tile))
+
+
+def test_expand_scan_matches_numpy():
+    """Direct unit test of the fused owner-scan triple (scan_kernel.
+    expand_scan): latest-nonzero carry, cummax base, 1-based rank —
+    including multi-block carries and runs starting exactly at the
+    4096-element block boundary."""
+    from gsplat_tpu.raster.scan_kernel import expand_scan
+
+    rng = np.random.default_rng(0)
+    k = 3 * 4096 + 511  # 4 blocks, ragged tail
+    marks = np.zeros(k, np.int32)
+    # sparse nonzero marks incl. one exactly at a block boundary and a
+    # long empty run spanning a whole block
+    pos = np.unique(np.concatenate([
+        rng.integers(100, k, 40), [4096, 2 * 4096 - 1, 0]]))
+    marks[pos] = rng.integers(1, 1 << 20, pos.shape[0])
+    base_in = np.where(marks != 0, np.arange(k, dtype=np.int32), 0)
+
+    pack, base, rank = map(np.asarray, expand_scan(
+        jnp.asarray(marks), jnp.asarray(base_in), interpret=True))
+
+    # numpy references
+    ref_pack = np.zeros(k, np.int64)
+    last = 0
+    for i in range(k):
+        if marks[i] != 0:
+            last = marks[i]
+        ref_pack[i] = last
+    np.testing.assert_array_equal(pack, ref_pack)
+    np.testing.assert_array_equal(base, np.maximum.accumulate(base_in))
+    np.testing.assert_array_equal(rank,
+                                  np.cumsum((marks != 0).astype(np.int64)))
+
+
+def test_multi_cummax_matches_numpy():
+    from gsplat_tpu.raster.scan_kernel import multi_cummax
+
+    rng = np.random.default_rng(3)
+    k = 2 * 4096 + 77
+    arrays = [rng.integers(-1 << 30, 1 << 30, k).astype(np.int32)
+              for _ in range(3)]
+    got = multi_cummax([jnp.asarray(a) for a in arrays], interpret=True)
+    for g, a in zip(got, arrays):
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.maximum.accumulate(a))
