@@ -46,6 +46,9 @@ class RasterizeSettings:
     tile_x: int = 32
     tile_y: int = 16
     chunk: int = 128
+    # sub-chunks per kernel grid step (amortizes per-grid-step overhead,
+    # ~0.3 us/chunk measured; see tile_kernel.SUPER)
+    super_chunks: int = 8
     interpret: bool = False
     # Inference mode: bf16 feature stream, background composited in-kernel,
     # no transmittance residual (final_t returns zeros), NOT differentiable.
@@ -214,7 +217,7 @@ def rasterize(
     binn = binning_lib.bin_gaussians(
         proc_ng, tile_x=s.tile_x, tile_y=s.tile_y,
         grid_x=grid_x, grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk,
-        align=tile_kernel.SUPER,  # both kernels walk SUPER chunks per step
+        align=s.super_chunks,  # both kernels walk SUPER chunks per step
         interpret=s.interpret)
 
     feat = _slot_features(
@@ -232,7 +235,8 @@ def rasterize(
     if s.inference:
         c_img = tile_kernel.render_forward(
             feat, binn.chunk_meta, jnp.asarray(bg, jnp.float32), num_tiles,
-            n_pix, s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret)
+            n_pix, s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret,
+            s.super_chunks)
         # CHW bf16 (the reference's output layout, rasterize_points.cu:69):
         # an HWC device array puts the 3-channel axis on lanes, which the
         # TPU pads to 128 — 42x the bytes for every downstream op.
@@ -244,7 +248,7 @@ def rasterize(
 
     c_img, t_img, used_slot = tile_kernel.tile_blend(
         feat, binn.chunk_meta, num_tiles, n_pix,
-        s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret)
+        s.tile_x, s.tile_y, grid_x, s.chunk, s.interpret, s.super_chunks)
 
     # Pixel-granular is_used (forward.cu:364): OR the per-slot contribution
     # flags by gaussian. ``gid`` lives in depth-rank space with rank P as

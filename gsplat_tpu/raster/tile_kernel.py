@@ -297,7 +297,7 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref, used_ref,
                 acc_ref, tcar_ref, done_ref, stage_ref, live_ref, busy_ref,
                 pend_ref, sems,
                 *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
-                num_tiles: int, chunk: int):
+                num_tiles: int, chunk: int, super_chunks: int = SUPER):
     """Training forward, SUPER sub-chunks per grid step (per-grid-step
     overhead — DMA issue + bookkeeping — measured ~0.3 us/chunk; SUPER
     amortizes it 8x). Full training semantics (saturation freeze via
@@ -348,8 +348,8 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref, used_ref,
         pend_ref[slot] = tile
         busy_ref[2] = busy_ref[2] + 1
 
-    for j in range(SUPER):
-        tile, first, last = _decode(chunk_meta, k * SUPER + j)
+    for j in range(super_chunks):
+        tile, first, last = _decode(chunk_meta, k * super_chunks + j)
         ox = ((tile % grid_x) * tile_x).astype(jnp.float32)
         oy = ((tile // grid_x) * tile_y).astype(jnp.float32)
         is_real = tile < num_tiles  # trailing sentinel chunks: no-op
@@ -498,20 +498,20 @@ def _common_specs(chunk: int, n_pix: int, num_tiles: int):
 
 def _forward(feat, chunk_meta, num_tiles: int, n_pix: int,
              tile_x: int, tile_y: int, grid_x: int, chunk: int,
-             interpret: bool):
-    assert feat.shape[1] % (chunk * SUPER) == 0, feat.shape
-    feat_spec = pl.BlockSpec((NUM_FEAT, chunk * SUPER),
+             interpret: bool, super_chunks: int = SUPER):
+    assert feat.shape[1] % (chunk * super_chunks) == 0, feat.shape
+    feat_spec = pl.BlockSpec((NUM_FEAT, chunk * super_chunks),
                              lambda k, cm: (0, k), memory_space=pltpu.VMEM)
     # Empty tiles get no kernel chunks; their output blocks come from this
     # alias-donated init buffer (background: C=0, T=1) — no patching pass.
     ct_init = jnp.zeros((num_tiles, CTPAD, n_pix), jnp.float32
                         ).at[:, 3].set(1.0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    used_spec = pl.BlockSpec((1, chunk * SUPER), lambda k, cm: (0, k),
+    used_spec = pl.BlockSpec((1, chunk * super_chunks), lambda k, cm: (0, k),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(feat.shape[1] // (chunk * SUPER),),
+        grid=(feat.shape[1] // (chunk * super_chunks),),
         in_specs=[feat_spec, any_spec],
         out_specs=[any_spec, used_spec],
         scratch_shapes=[
@@ -527,7 +527,8 @@ def _forward(feat, chunk_meta, num_tiles: int, n_pix: int,
     )
     kernel = functools.partial(_fwd_kernel, n_pix=n_pix, tile_x=tile_x,
                                tile_y=tile_y, grid_x=grid_x,
-                               num_tiles=num_tiles, chunk=chunk)
+                               num_tiles=num_tiles, chunk=chunk,
+                               super_chunks=super_chunks)
     ct, used = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((num_tiles, CTPAD, n_pix),
@@ -544,7 +545,7 @@ def _render_kernel(chunk_meta, feat_ref, bg_ref, c_init_ref, c_ref,
                    acc_ref, tcar_ref, stage_ref, live_ref, busy_ref,
                    pend_ref, sems,
                    *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
-                   num_tiles: int, chunk: int):
+                   num_tiles: int, chunk: int, super_chunks: int = SUPER):
     """Inference-only forward, SUPER sub-chunks per grid step.
 
     bf16 feature stream, single-pass bf16 MXU transmittance scan, NO
@@ -587,8 +588,8 @@ def _render_kernel(chunk_meta, feat_ref, bg_ref, c_init_ref, c_ref,
         pend_ref[slot] = tile
         busy_ref[2] = busy_ref[2] + 1
 
-    for j in range(SUPER):
-        tile, first, last = _decode(chunk_meta, k * SUPER + j)
+    for j in range(super_chunks):
+        tile, first, last = _decode(chunk_meta, k * super_chunks + j)
         ox = ((tile % grid_x) * tile_x).astype(jnp.float32)
         oy = ((tile // grid_x) * tile_y).astype(jnp.float32)
         is_real = tile < num_tiles
@@ -643,11 +644,11 @@ def _render_kernel(chunk_meta, feat_ref, bg_ref, c_init_ref, c_ref,
 
 def render_forward(feat, chunk_meta, bg, num_tiles: int, n_pix: int,
                    tile_x: int, tile_y: int, grid_x: int, chunk: int,
-                   interpret: bool):
+                   interpret: bool, super_chunks: int = SUPER):
     """Render-only tile blend: bf16 [num_tiles, 3, n_pix] over bg."""
-    assert feat.shape[1] % (chunk * SUPER) == 0, feat.shape
+    assert feat.shape[1] % (chunk * super_chunks) == 0, feat.shape
 
-    feat_spec = pl.BlockSpec((NUM_FEAT, chunk * SUPER),
+    feat_spec = pl.BlockSpec((NUM_FEAT, chunk * super_chunks),
                              lambda k, cm: (0, k), memory_space=pltpu.VMEM)
     bg_spec = pl.BlockSpec((3, 1), lambda k, cm: (0, 0),
                            memory_space=pltpu.VMEM)
@@ -662,7 +663,7 @@ def render_forward(feat, chunk_meta, bg, num_tiles: int, n_pix: int,
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(feat.shape[1] // (chunk * SUPER),),
+        grid=(feat.shape[1] // (chunk * super_chunks),),
         in_specs=[feat_spec, bg_spec, any_spec],
         out_specs=[any_spec],
         scratch_shapes=[
@@ -677,7 +678,8 @@ def render_forward(feat, chunk_meta, bg, num_tiles: int, n_pix: int,
     )
     kernel = functools.partial(_render_kernel, n_pix=n_pix, tile_x=tile_x,
                                tile_y=tile_y, grid_x=grid_x,
-                               num_tiles=num_tiles, chunk=chunk)
+                               num_tiles=num_tiles, chunk=chunk,
+                               super_chunks=super_chunks)
     (c_img,) = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((num_tiles, CPAD, n_pix),
@@ -716,10 +718,11 @@ def _backward(feat, chunk_meta, ct, dct,
     return dfeat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _tile_blend_packed(feat, chunk_meta, num_tiles: int, n_pix: int,
                        tile_x: int, tile_y: int, grid_x: int, chunk: int,
-                       interpret: bool = False):
+                       interpret: bool = False, super_chunks: int = SUPER):
     """Packed-output core: ([num_tiles, CTPAD, n_pix], used [1, K]).
     Packed rows 0-2 color, row 3 transmittance, 4-7 alignment padding.
     Differentiating the PACKED array keeps the backward kernel at two
@@ -727,18 +730,19 @@ def _tile_blend_packed(feat, chunk_meta, num_tiles: int, n_pix: int,
     caller's slices merge into one zero-padded buffer for free. The
     per-slot ``used`` counts are integer bookkeeping (zero cotangent)."""
     return _forward(feat, chunk_meta, num_tiles, n_pix, tile_x,
-                    tile_y, grid_x, chunk, interpret)
+                    tile_y, grid_x, chunk, interpret, super_chunks)
 
 
 def _tile_blend_fwd(feat, chunk_meta, num_tiles, n_pix, tile_x,
-                    tile_y, grid_x, chunk, interpret):
+                    tile_y, grid_x, chunk, interpret, super_chunks):
     ct, used = _forward(feat, chunk_meta, num_tiles, n_pix,
-                        tile_x, tile_y, grid_x, chunk, interpret)
+                        tile_x, tile_y, grid_x, chunk, interpret,
+                        super_chunks)
     return (ct, used), (feat, chunk_meta, ct)
 
 
 def _tile_blend_bwd(num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
-                    interpret, res, cts):
+                    interpret, super_chunks, res, cts):
     dct, _dused = cts
     feat, chunk_meta, ct = res
     dfeat = _backward(feat, chunk_meta, ct, dct,
@@ -753,7 +757,7 @@ _tile_blend_packed.defvjp(_tile_blend_fwd, _tile_blend_bwd)
 
 def tile_blend(feat, chunk_meta, num_tiles: int, n_pix: int,
                tile_x: int, tile_y: int, grid_x: int, chunk: int,
-               interpret: bool = False):
+               interpret: bool = False, super_chunks: int = SUPER):
     """Composite padded duplicate lists into per-tile pixel blocks.
 
     Args:
@@ -770,5 +774,6 @@ def tile_blend(feat, chunk_meta, num_tiles: int, n_pix: int,
        duplicate contributed to >= 1 pixel (forward.cu:364 semantics)).
     """
     ct, used = _tile_blend_packed(feat, chunk_meta, num_tiles, n_pix,
-                                  tile_x, tile_y, grid_x, chunk, interpret)
+                                  tile_x, tile_y, grid_x, chunk, interpret,
+                                  super_chunks)
     return ct[:, 0:3], ct[:, 3:4], used[0]

@@ -349,3 +349,20 @@ def test_multi_cummax_matches_numpy():
     for g, a in zip(got, arrays):
         np.testing.assert_array_equal(np.asarray(g),
                                       np.maximum.accumulate(a))
+
+
+def test_super_chunks_setting_invariant():
+    """Output is identical for any super_chunks grouping (it only changes
+    how many chunks one kernel grid step walks)."""
+    import dataclasses
+
+    params = make_scene(p=250, seed=2)
+    cam = make_cam()
+    base = rasterize(*params, cam, SH_DEGREE, BG, SETTINGS)
+    for sc in (1, 4):
+        s2 = dataclasses.replace(SETTINGS, super_chunks=sc)
+        out = rasterize(*params, cam, SH_DEGREE, BG, s2)
+        np.testing.assert_allclose(np.asarray(out.image),
+                                   np.asarray(base.image), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out.is_used),
+                                      np.asarray(base.is_used))
