@@ -44,19 +44,44 @@ def find_latest_iteration(model_path: str) -> int:
 
 
 def render_set(model_path, split, iteration, cameras, state, settings, bg,
-               pipe: PipelineConfig | None = None):
+               pipe: PipelineConfig | None = None, n_ps: int = 1):
     pipe = pipe or PipelineConfig()
     renders_dir = os.path.join(model_path, split, f"ours_{iteration}",
                                "renders")
     gt_dir = os.path.join(model_path, split, f"ours_{iteration}", "gt")
 
-    @jax.jit
-    def render_one(camera):
-        out = renderer.render(
-            camera, state, bg, settings,
-            convert_shs_python=pipe.convert_SHs_python,
-            compute_cov3d_python=pipe.compute_cov3D_python)
-        return jnp.clip(out["render"], 0.0, 1.0)
+    if n_ps > 1:
+        # Gaussian-sharded distributed rendering (parallel/pshard.py):
+        # params sharded over the mesh, depth-slab partition, ordered
+        # compositing fold over ICI
+        from gsplat_tpu.parallel.mesh import make_mesh
+        from gsplat_tpu.parallel.pshard import make_pshard_render
+
+        assert state.xyz.shape[0] % n_ps == 0, (
+            f"--cap_max {state.xyz.shape[0]} must be divisible by "
+            f"--pshard {n_ps}")
+        mesh = make_mesh(n_ps, axis_name="ps")
+        ps_render = make_pshard_render(mesh, settings, state.max_sh_degree)
+        shard = {
+            "means": state.xyz, "scales": state.get_scaling(),
+            "quats": state.get_rotation(),
+            "opa": state.get_opacity()[:, 0],
+            "shs": state.get_features(), "alive": state.alive_mask,
+        }
+
+        def render_one(camera):
+            img = ps_render(shard["means"], shard["scales"], shard["quats"],
+                            shard["opa"], shard["shs"], shard["alive"],
+                            camera, jnp.asarray(bg, jnp.float32))
+            return jnp.clip(img, 0.0, 1.0)
+    else:
+        @jax.jit
+        def render_one(camera):
+            out = renderer.render(
+                camera, state, bg, settings,
+                convert_shs_python=pipe.convert_SHs_python,
+                compute_cov3d_python=pipe.compute_cov3D_python)
+            return jnp.clip(out["render"], 0.0, 1.0)
 
     for idx, cam_obj in enumerate(cameras):
         camera, gt = cam_obj.load()
@@ -68,7 +93,8 @@ def render_set(model_path, split, iteration, cameras, state, settings, bg,
 
 
 def render_sets(model_cfg: ModelConfig, pipe: PipelineConfig,
-                iteration: int = -1, skip_train=False, skip_test=False):
+                iteration: int = -1, skip_train=False, skip_test=False,
+                n_ps: int = 1):
     scene = Scene(model_cfg.source_path, model_cfg.model_path,
                   images=model_cfg.images, eval_split=model_cfg.eval,
                   resolution=model_cfg.resolution,
@@ -87,10 +113,10 @@ def render_sets(model_cfg: ModelConfig, pipe: PipelineConfig,
                      else [0.0, 0.0, 0.0])
     if not skip_train:
         render_set(model_cfg.model_path, "train", iteration,
-                   scene.train_cameras, state, settings, bg, pipe)
+                   scene.train_cameras, state, settings, bg, pipe, n_ps)
     if not skip_test:
         render_set(model_cfg.model_path, "test", iteration,
-                   scene.test_cameras, state, settings, bg, pipe)
+                   scene.test_cameras, state, settings, bg, pipe, n_ps)
 
 
 def main(argv=None):
@@ -101,13 +127,17 @@ def main(argv=None):
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--pshard", type=int, default=1,
+                        help="Gaussian-sharded distributed rendering over "
+                             "N devices (depth-slab partition + ordered "
+                             "compositing)")
     args = load_combined_args(parser) if argv is None else \
         parser.parse_args(argv)
     model_cfg = extract_config(args, ModelConfig)
     pipe = extract_config(args, PipelineConfig)
     print("Rendering " + model_cfg.model_path)
     render_sets(model_cfg, pipe, args.iteration, args.skip_train,
-                args.skip_test)
+                args.skip_test, n_ps=getattr(args, "pshard", 1))
 
 
 if __name__ == "__main__":

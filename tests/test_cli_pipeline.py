@@ -148,3 +148,30 @@ def test_train_static_dp_x_pshard(blender_scene, tmp_path):
 
     data = read_ply(ply)
     assert np.isfinite(data["x"]).all()
+
+
+def test_render_cli_pshard(blender_scene, tmp_path):
+    """Distributed rendering CLI: --pshard N renders through the
+    Gaussian-sharded depth-slab path on the virtual 8-device mesh and
+    matches the single-device render to compositing tolerance."""
+    out = str(tmp_path / "model_r")
+    from gsplat_tpu.eval.render import main as render_main
+    from gsplat_tpu.train.train_static import main as train_main
+
+    train_main([
+        "-s", str(blender_scene), "-m", out,
+        "--iterations", "4", "--cap_max", "64", "--init_pts", "32",
+        "--test_iterations", "-1", "--save_iterations", "4",
+        "--densify_until_iter", "0", "--dup_budget", "4096",
+    ])
+    render_main(["-s", str(blender_scene), "-m", out, "--iteration", "4",
+                 "--skip_train", "--dup_budget", "4096"])
+    single = os.path.join(out, "test", "ours_4", "renders", "00000.png")
+    from PIL import Image
+
+    ref = np.asarray(Image.open(single)).astype(np.float32)
+    # re-render distributed into the same tree (overwrites)
+    render_main(["-s", str(blender_scene), "-m", out, "--iteration", "4",
+                 "--skip_train", "--dup_budget", "4096", "--pshard", "8"])
+    got = np.asarray(Image.open(single)).astype(np.float32)
+    assert np.abs(got - ref).max() <= 2.0  # 8-bit, slab-compositing tol
