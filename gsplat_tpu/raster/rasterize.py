@@ -80,6 +80,18 @@ class RasterizeOutput(NamedTuple):
                             # is_used, free from binning)
 
 
+def mark_visible(means3d, camera: CameraParams):
+    """[P] bool frustum-visibility check — the reference's standalone
+    ``GaussianRasterizer.markVisible`` (rasterize_points.cu:201-220 ->
+    checkFrustum, rasterizer_impl.cu:54-66): true iff the view-space depth
+    exceeds the 0.2 near plane (in_frustum with prefiltered=false only
+    tests z, auxiliary.h:139-164)."""
+    view = camera.view
+    depth = (means3d[:, 0] * view[2, 0] + means3d[:, 1] * view[2, 1]
+             + means3d[:, 2] * view[2, 2]) + view[2, 3]
+    return depth > 0.2
+
+
 # Above this slot count the gradient reduction routes through sort +
 # fused cumsum + boundary gathers instead of XLA scatter-add: scatter-add
 # costs ~11 ns/index at 100k-row targets but ~65 ns at 1M rows (random

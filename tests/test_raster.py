@@ -366,3 +366,25 @@ def test_super_chunks_setting_invariant():
                                    np.asarray(base.image), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(out.is_used),
                                       np.asarray(base.is_used))
+
+
+def test_mark_visible_matches_frustum_cull():
+    """mark_visible (rasterize_points.cu:201-220 markVisible) agrees with
+    the preprocess z>0.2 cull and the CUDA-port in_frustum."""
+    from gsplat_tpu.raster.rasterize import mark_visible
+
+    means, scales, quats, opa, shs = make_scene(p=100, seed=4)
+    means = means.at[::3, 2].set(-1.0)   # behind camera
+    means = means.at[1::7, 2].set(0.15)  # inside the 0.2 near plane
+    cam = make_cam()
+    got = np.asarray(mark_visible(means, cam))
+
+    try:
+        import reference_port as refp
+    except ImportError:
+        from tests import reference_port as refp
+    view_flat = np.asarray(cam.view, np.float32).T.flatten()
+    ref = np.array([refp.transform_point_4x3(np.asarray(m), view_flat)[2]
+                    > 0.2 for m in np.asarray(means)])
+    np.testing.assert_array_equal(got, ref)
+    assert (~got).sum() > 0 and got.sum() > 0
