@@ -380,3 +380,33 @@ def test_loadcam_resolution_and_matrices_match_reference(tmp_path):
         np.testing.assert_allclose(
             np.asarray(cam.cam_pos), ref_cam.camera_center.numpy(),
             atol=1e-5)
+
+
+# ------------------------------------------------------------------- SSIM
+
+
+def test_ssim_l1_match_reference_execution():
+    """Execute the reference's own ssim/l1_loss (loss_utils.py — the exact
+    windowed-SSIM every training loss uses; open3d is stubbed, it is only
+    needed by the unrelated ARAP KNN helper)."""
+    import types as _types
+
+    import torch
+
+    sys.modules.setdefault("open3d", _types.ModuleType("open3d"))
+    lu = _load("utils/loss_utils.py", "ref_loss_utils")
+    from gsplat_tpu.train import losses
+
+    rng = np.random.default_rng(12)
+    a = rng.uniform(0, 1, size=(3, 40, 56)).astype(np.float32)
+    # correlated pair (SSIM is trivial at 1.0 or ~0 otherwise)
+    b = np.clip(a + 0.1 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
+
+    ref_ssim = float(lu.ssim(torch.from_numpy(a), torch.from_numpy(b)))
+    got_ssim = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert got_ssim == pytest.approx(ref_ssim, abs=2e-6)
+    assert 0.2 < ref_ssim < 0.999
+
+    ref_l1 = float(lu.l1_loss(torch.from_numpy(a), torch.from_numpy(b)))
+    got_l1 = float(losses.l1_loss(jnp.asarray(a), jnp.asarray(b)))
+    assert got_l1 == pytest.approx(ref_l1, rel=1e-6)
