@@ -51,7 +51,39 @@ def probe_k_dup(probe_fn, state_or_params, chunk, floor=1 << 15):
     return -(-need // chunk) * chunk
 
 
+def _probe_backend(timeout_s: float = 180.0):
+    """Fail fast (and loudly) when the TPU backend is unreachable: a dead
+    axon tunnel can hang backend init indefinitely (observed 2026-08-17:
+    jax.devices() blocked >25 min before UNAVAILABLE), which would stall
+    the whole bench run without a result line."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, don't crash silently
+            out["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        out["error"] = f"backend init did not return within {timeout_s}s"
+    if "error" in out:
+        print(json.dumps({
+            "metric": "train_iters_per_sec", "value": 0.0, "unit": "it/s",
+            "vs_baseline": 0.0,
+            "config": {"error": f"TPU backend unavailable: {out['error']}"},
+        }))
+        sys.exit(1)
+
+
 def main():
+    _probe_backend()
     import jax
     import jax.numpy as jnp
 
