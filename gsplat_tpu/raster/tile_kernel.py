@@ -402,98 +402,156 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref, used_ref,
                 busy_ref[slot] = 0
 
 
-def _bwd_kernel(chunk_meta, feat_ref, ct_ref, dct_ref,
-                dfeat_ref, tcar_ref, accum_ref, done_ref,
+def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
+                tcar_ref, accum_ref, done_ref, dstage_ref, busy_ref,
+                pend_ref, sems,
                 *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
-                num_tiles: int):
+                num_tiles: int, chunk: int, n_chunks: int,
+                super_chunks: int = SUPER):
+    """Backward, SUPER sub-chunks per grid step (same amortization as the
+    forward; per-grid-step overhead measured ~0.3 us/chunk — ~3.5 ms at the
+    1M-cap scale's 13k chunks).
+
+    The per-tile residual/cotangent input is ONE packed (CTPAD, n_pix)
+    block ``dpack`` — rows 0..2 the color cotangent dC, row 3 the per-pixel
+    total downstream dot D = <dC, C_final> + dT * T_final (precomputed by
+    XLA in ``_backward``; those are the only two quantities the old twin
+    (ct, dct) operands fed). A super-chunk can span several tiles, so
+    ``dpack`` lives in ANY memory and is fetched per TILE with a 2-slot
+    double buffer: each tile's LAST chunk issues the async copy for the
+    next tile, each tile's FIRST chunk waits on its own (issued one chunk
+    earlier in the worst 1-chunk-tile case — mostly hidden behind the
+    previous sub-chunk's compute)."""
     k = pl.program_id(0)
-    tile, first, _ = _decode(chunk_meta, k)
-    ox = ((tile % grid_x) * tile_x).astype(jnp.float32)
-    oy = ((tile // grid_x) * tile_y).astype(jnp.float32)
-    is_real = tile < num_tiles
 
-    @pl.when(is_real & (first != 0))
+    @pl.when(k == 0)
     def _():
-        tcar_ref[...] = jnp.ones_like(tcar_ref)
-        accum_ref[...] = jnp.zeros_like(accum_ref)
-        done_ref[...] = jnp.zeros_like(done_ref)
+        # SMEM scratch is NOT zero-initialized on hardware.
+        busy_ref[0] = 0  # tile counter (slot = counter % 2)
+        pend_ref[0] = 0
+        pend_ref[1] = 0
+        tile0 = chunk_meta[0] >> 2
 
-    saturated = jnp.logical_not(is_real) | (jnp.min(done_ref[...]) >= 0.5)
+        @pl.when(tile0 < num_tiles)
+        def _():
+            pltpu.make_async_copy(
+                dpack_ref.at[pl.ds(tile0, 1)], dstage_ref.at[0],
+                sems.at[0]).start()
+            pend_ref[0] = 1
 
-    @pl.when(jnp.logical_not(saturated))
+    for j in range(super_chunks):
+        idx = k * super_chunks + j
+        tile, first, last = _decode(chunk_meta, idx)
+        ox = ((tile % grid_x) * tile_x).astype(jnp.float32)
+        oy = ((tile // grid_x) * tile_y).astype(jnp.float32)
+        is_real = tile < num_tiles
+        slot = busy_ref[0] % 2
+
+        @pl.when(is_real & (first != 0))
+        def _(slot=slot):
+            pltpu.make_async_copy(
+                dpack_ref.at[pl.ds(0, 1)], dstage_ref.at[slot],
+                sems.at[slot]).wait()
+            pend_ref[slot] = 0
+            tcar_ref[...] = jnp.ones_like(tcar_ref)
+            accum_ref[...] = jnp.zeros_like(accum_ref)
+            done_ref[...] = jnp.zeros_like(done_ref)
+
+        saturated = jnp.logical_not(is_real) | (
+            jnp.min(done_ref[...]) >= 0.5)
+
+        @pl.when(jnp.logical_not(saturated))
+        def _(j=j, ox=ox, oy=oy, slot=slot):
+            basis_t = _basis_t(n_pix, tile_x)
+            feat = feat_ref[:, j * chunk:(j + 1) * chunk]
+            v = _alphas(feat, basis_t, tcar_ref[0], done_ref[0], ox, oy)
+            dc = dstage_ref[slot, 0, 0:3]     # (3, N_PIX) color cotangent
+            d_tot = dstage_ref[slot, 0, 3:4]  # (1, N_PIX) total dot D
+
+            # A[g, p] = <dC[:, p], rgb[:, g]> — contract the channel axis.
+            a_pg = _dot_hl(v["rgb"], dc, (((0,), (0,)), ((), ())))
+            aw = a_pg * v["w"]
+            cum_in = accum_ref[0] + _scan_cols(aw, exclusive=False)
+            s = d_tot - cum_in  # suffix contributions incl. the T term
+            alpha = v["alpha"]
+            live = (alpha > 0.0).astype(jnp.float32)
+            dalpha = (a_pg * v["t_g"] - s / (1.0 - alpha)) * v["gate"] * live
+            # 0.99-clamp pass-through (backward.cu:477-481): opa*exp(power).
+            opa_c = jnp.transpose(v["opa"])
+            dpower = dalpha * opa_c * v["g_exp"]
+
+            # dcoeff[i, g] = sum_p basis[i, p] * dpower[g, p] — one MXU
+            # matmul contracting the pixel lanes, then the chain rule back
+            # to the RAW rows on (1, CHUNK) vectors.
+            dcoeff = lax.dot_general(basis_t, dpower,
+                                     (((1,), (1,)), ((), ())),
+                                     precision=lax.Precision.HIGHEST,
+                                     preferred_element_type=jnp.float32)
+            d0, d1, d2, d3, d4, d5 = (dcoeff[i:i + 1, :] for i in range(6))
+            x, y = v["x"], v["y"]
+            a, b, c = v["a"], v["b"], v["c"]
+            da = -0.5 * d0 + x * d3 - 0.5 * (x * x) * d5
+            db = -d2 + y * d3 + x * d4 - (x * y) * d5
+            dc_ = -0.5 * d1 + y * d4 - 0.5 * (y * y) * d5
+            dx = a * d3 + b * d4 - (a * x + b * y) * d5
+            dy = b * d3 + c * d4 - (c * y + b * x) * d5
+            # drgb[ch, g] = sum_p dC[ch, p] * w[g, p]
+            drgb = _dot_hl(dc, v["w"], (((1,), (1,)), ((), ())))
+            # dopa[1, g] = sum_p g_exp*dalpha*live — ones-matmul lane
+            # reduction (keeps the result a lane vector; a VPU axis-1
+            # reduce would emit a (CHUNK, 1) sublane vector needing a
+            # relayout). ones lhs is exact in bf16; split only the signed
+            # rhs (2 passes).
+            ones_row = jnp.ones((1, n_pix), jnp.bfloat16)
+            o_rhs = v["g_exp"] * dalpha * live
+            rhi, rlo = _split_hi_lo(o_rhs)
+            dopa_dims = (((1,), (1,)), ((), ()))
+            dopa = (lax.dot_general(ones_row, rhi, dopa_dims,
+                                    preferred_element_type=jnp.float32)
+                    + lax.dot_general(ones_row, rlo, dopa_dims,
+                                      preferred_element_type=jnp.float32))
+            dfeat_ref[:, j * chunk:(j + 1) * chunk] = jnp.concatenate(
+                [dx, dy, da, db, dc_, dopa, drgb], axis=0)
+
+            tcar_ref[...] = v["t_new"][None]
+            accum_ref[...] = cum_in[-1:, :][None]
+            done_ref[...] = v["done_new"][None]
+
+        @pl.when(saturated)
+        def _(j=j):
+            dfeat_ref[:, j * chunk:(j + 1) * chunk] = jnp.zeros(
+                (NUM_FEAT, chunk), jnp.float32)
+
+        # On this tile's last chunk: issue the prefetch for the NEXT tile
+        # into the other slot (the tile sequence is nondecreasing, so the
+        # next first-chunk's tile is the tile of the chunk after this one).
+        @pl.when(is_real & (last != 0))
+        def _(idx=idx, slot=slot):
+            nxt = chunk_meta[jnp.minimum(idx + 1, n_chunks - 1)] >> 2
+            other = 1 - slot
+
+            @pl.when((nxt < num_tiles) & (idx + 1 < n_chunks))
+            def _():
+                pltpu.make_async_copy(
+                    dpack_ref.at[pl.ds(nxt, 1)], dstage_ref.at[other],
+                    sems.at[other]).start()
+                pend_ref[other] = 1
+            busy_ref[0] = busy_ref[0] + 1
+
+    # Drain any issued-but-unconsumed prefetch (a trailing tile whose first
+    # chunk never arrived cannot happen — every issued tile is real — but a
+    # final issued prefetch with no consuming first-chunk exists only when
+    # the stream ends on a last-chunk whose successor is real, which the
+    # sentinel guard excludes; still, wait defensively on exit).
+    @pl.when(k == pl.num_programs(0) - 1)
     def _():
-        basis_t = _basis_t(n_pix, tile_x)
-        feat = feat_ref[...]
-        v = _alphas(feat, basis_t, tcar_ref[0], done_ref[0], ox, oy)
-        # packed residual/cotangent blocks: rows 0-2 color, row 3 T
-        dc = dct_ref[0, 0:3]    # (3, N_PIX)
-        dt = dct_ref[0, 3:4]    # (1, N_PIX)
-        cres = ct_ref[0, 0:3]   # (3, N_PIX)
-        tres = ct_ref[0, 3:4]   # (1, N_PIX)
-
-        # Per-pixel total downstream dot: D = <dC, C_final> + dT * T_final.
-        d_tot = jnp.sum(dc * cres, axis=0, keepdims=True) + dt * tres
-        # A[g, p] = <dC[:, p], rgb[:, g]> — contract the channel axis.
-        a_pg = _dot_hl(v["rgb"], dc, (((0,), (0,)), ((), ())))
-        aw = a_pg * v["w"]
-        cum_in = accum_ref[0] + _scan_cols(aw, exclusive=False)
-        s = d_tot - cum_in  # suffix contributions incl. the T_final term
-        alpha = v["alpha"]
-        live = (alpha > 0.0).astype(jnp.float32)
-        dalpha = (a_pg * v["t_g"] - s / (1.0 - alpha)) * v["gate"] * live
-        # 0.99-clamp pass-through (backward.cu:477-481): opa*exp(power).
-        opa_c = jnp.transpose(v["opa"])
-        dpower = dalpha * opa_c * v["g_exp"]
-
-        # dcoeff[i, g] = sum_p basis[i, p] * dpower[g, p] — one MXU matmul
-        # contracting the pixel lanes, then the chain rule back to the RAW
-        # rows on (1, CHUNK) vectors.
-        dcoeff = lax.dot_general(basis_t, dpower, (((1,), (1,)), ((), ())),
-                                 precision=lax.Precision.HIGHEST,
-                                 preferred_element_type=jnp.float32)
-        d0, d1, d2, d3, d4, d5 = (dcoeff[i:i + 1, :] for i in range(6))
-        x, y = v["x"], v["y"]
-        a, b, c = v["a"], v["b"], v["c"]
-        da = -0.5 * d0 + x * d3 - 0.5 * (x * x) * d5
-        db = -d2 + y * d3 + x * d4 - (x * y) * d5
-        dc_ = -0.5 * d1 + y * d4 - 0.5 * (y * y) * d5
-        dx = a * d3 + b * d4 - (a * x + b * y) * d5
-        dy = b * d3 + c * d4 - (c * y + b * x) * d5
-        # drgb[ch, g] = sum_p dC[ch, p] * w[g, p]
-        drgb = _dot_hl(dc, v["w"], (((1,), (1,)), ((), ())))
-        # dopa[1, g] = sum_p g_exp*dalpha*live — ones-matmul lane reduction
-        # (keeps the result a lane vector; a VPU axis-1 reduce would emit a
-        # (CHUNK, 1) sublane vector needing a relayout).
-        # ones lhs is exact in bf16; split only the signed rhs (2 passes).
-        ones_row = jnp.ones((1, n_pix), jnp.bfloat16)
-        o_rhs = v["g_exp"] * dalpha * live
-        rhi, rlo = _split_hi_lo(o_rhs)
-        dopa_dims = (((1,), (1,)), ((), ()))
-        dopa = (lax.dot_general(ones_row, rhi, dopa_dims,
-                                preferred_element_type=jnp.float32)
-                + lax.dot_general(ones_row, rlo, dopa_dims,
-                                  preferred_element_type=jnp.float32))
-        dfeat_ref[...] = jnp.concatenate(
-            [dx, dy, da, db, dc_, dopa, drgb], axis=0)
-
-        tcar_ref[...] = v["t_new"][None]
-        accum_ref[...] = cum_in[-1:, :][None]
-        done_ref[...] = v["done_new"][None]
-
-    @pl.when(saturated)
-    def _():
-        dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
-
-
-def _common_specs(chunk: int, n_pix: int, num_tiles: int):
-    def tile_ix(k, cm):
-        return (jnp.minimum(cm[k] >> 2, num_tiles - 1), 0, 0)
-
-    feat_spec = pl.BlockSpec((NUM_FEAT, chunk), lambda k, cm: (0, k),
-                             memory_space=pltpu.VMEM)
-    ct_spec = pl.BlockSpec((1, CTPAD, n_pix), tile_ix,
-                           memory_space=pltpu.VMEM)
-    return feat_spec, ct_spec
+        for slot in range(2):
+            @pl.when(pend_ref[slot] != 0)
+            def _(slot=slot):
+                pltpu.make_async_copy(
+                    dpack_ref.at[pl.ds(0, 1)], dstage_ref.at[slot],
+                    sems.at[slot]).wait()
+                pend_ref[slot] = 0
 
 
 def _forward(feat, chunk_meta, num_tiles: int, n_pix: int,
@@ -694,27 +752,59 @@ def render_forward(feat, chunk_meta, bg, num_tiles: int, n_pix: int,
 
 def _backward(feat, chunk_meta, ct, dct,
               num_tiles: int, n_pix: int, tile_x: int, tile_y: int,
-              grid_x: int, chunk: int, interpret: bool):
-    feat_spec, ct_spec = _common_specs(chunk, n_pix, num_tiles)
-    dfeat_spec = pl.BlockSpec((NUM_FEAT, chunk), lambda k, cm: (0, k),
-                              memory_space=pltpu.VMEM)
+              grid_x: int, chunk: int, interpret: bool,
+              super_chunks: int = SUPER):
+    # One packed per-tile input block (rows 0-2: dC, row 3: the per-pixel
+    # total downstream dot D = <dC, C_final> + dT * T_final, rows 4-7
+    # sublane-alignment padding) — the only quantities the kernel needs
+    # from (ct, dct); one fused XLA elementwise pass builds it.
+    d_tot = (jnp.sum(dct[:, 0:3] * ct[:, 0:3], axis=1, keepdims=True)
+             + dct[:, 3:4] * ct[:, 3:4])
+    dpack = jnp.concatenate(
+        [dct[:, 0:3], d_tot,
+         jnp.zeros((ct.shape[0], CTPAD - 4, n_pix), jnp.float32)], axis=1)
+
+    # The unrolled sub-chunk bodies each hold several (chunk, n_pix) f32
+    # temporaries; Mosaic's scoped-vmem stack overflows its 16 MB limit
+    # when chunk * n_pix * super_chunks exceeds ~2^22 elements (measured:
+    # 128x32 tiles / chunk 128 / SUPER 8 needs 18.1 MB). Halve the unroll
+    # until it fits — the grid alignment stays valid because the clamped
+    # value still divides the caller's chunk * super_chunks padding.
+    while super_chunks > 1 and chunk * n_pix * super_chunks > 1 << 21:
+        super_chunks //= 2
+
+    assert feat.shape[1] % (chunk * super_chunks) == 0, feat.shape
+    n_chunks = feat.shape[1] // chunk
+    feat_spec = pl.BlockSpec((NUM_FEAT, chunk * super_chunks),
+                             lambda k, cm: (0, k), memory_space=pltpu.VMEM)
+    dfeat_spec = pl.BlockSpec((NUM_FEAT, chunk * super_chunks),
+                              lambda k, cm: (0, k), memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(feat.shape[1] // chunk,),
-        in_specs=[feat_spec, ct_spec, ct_spec],
+        grid=(feat.shape[1] // (chunk * super_chunks),),
+        in_specs=[feat_spec, any_spec],
         out_specs=[dfeat_spec],
-        scratch_shapes=[pltpu.VMEM((1, 1, n_pix), jnp.float32),   # tcar
-                        pltpu.VMEM((1, 1, n_pix), jnp.float32),   # accum
-                        pltpu.VMEM((1, 1, n_pix), jnp.float32)],  # done
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, n_pix), jnp.float32),        # tcar
+            pltpu.VMEM((1, 1, n_pix), jnp.float32),        # accum
+            pltpu.VMEM((1, 1, n_pix), jnp.float32),        # done
+            pltpu.VMEM((2, 1, CTPAD, n_pix), jnp.float32),  # dpack stage x2
+            pltpu.SMEM((1,), jnp.int32),                   # tile counter
+            pltpu.SMEM((2,), jnp.int32),                   # pending flags
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     kernel = functools.partial(_bwd_kernel, n_pix=n_pix, tile_x=tile_x,
                                tile_y=tile_y, grid_x=grid_x,
-                               num_tiles=num_tiles)
+                               num_tiles=num_tiles, chunk=chunk,
+                               n_chunks=n_chunks, super_chunks=super_chunks)
     (dfeat,) = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(feat.shape, jnp.float32)],
         interpret=interpret,
-    )(chunk_meta, feat, ct, dct)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(chunk_meta, feat, dpack)
     return dfeat
 
 
@@ -747,7 +837,7 @@ def _tile_blend_bwd(num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
     feat, chunk_meta, ct = res
     dfeat = _backward(feat, chunk_meta, ct, dct,
                       num_tiles, n_pix, tile_x, tile_y, grid_x, chunk,
-                      interpret)
+                      interpret, super_chunks)
     zero_i = np.zeros(chunk_meta.shape, dtype=jax.dtypes.float0)
     return (dfeat, zero_i)
 

@@ -68,7 +68,8 @@ def main():
 
         dt = jnp.bfloat16 if inference else jnp.float32
         featf = jax.jit(lambda: _slot_features(proc, binn.gid, binn.order,
-                                               binn.inv_order, dtype=dt))
+                                               binn.inv_order,
+                                               binn.seg_bounds, dtype=dt))
         feat = featf()
 
         num_tiles = grid_x * grid_y
