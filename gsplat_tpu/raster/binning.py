@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from gsplat_tpu.raster.project import Preprocessed, tile_rect
-from gsplat_tpu.raster.scan_kernel import expand_scan
+from gsplat_tpu.raster.scan_kernel import expand_scan, merge_expand
 
 
 class Binning(NamedTuple):
@@ -70,14 +70,6 @@ class Binning(NamedTuple):
                               # gradient reduction its segment bounds for
                               # free (a searchsorted over 1.5M sorted gids
                               # measured ~27 ms/step at the 1M-cap scale)
-
-
-def _owner_scan(starts, values, k: int, fill):
-    """For each slot d in [0, k): the value scattered at the largest
-    range-start <= d. Rows with start >= k are dropped."""
-    marks = jnp.full((k,), fill, values.dtype).at[starts].max(values,
-                                                              mode="drop")
-    return lax.cummax(marks)
 
 
 def num_slots(k_dup: int, num_tiles: int, chunk: int) -> int:
@@ -197,35 +189,37 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # --- duplicate expansion: slot -> owning gaussian via marker scans ---
     # Depth-sorted actives occupy the prefix and active <=> count > 0, so
     # the slot ranges [offsets[g], offsets[g+1]) are CONTIGUOUS: every slot
-    # d < num_dup belongs to exactly one range. Consequences (each removes
-    # work the round-2 pipeline paid for):
+    # d < num_dup belongs to exactly one range, owned by the LAST gaussian
+    # with starts[g] <= d. Consequences (each removes work the round-2
+    # pipeline paid for):
     # - the in-budget test collapses to a scalar threshold d < dup_limit
     #   (end of the last range that fully fits the budget) — no per-slot
     #   h/count decode at all;
-    # - per-slot values need only (min_x, min_y, w) + a marker bit, carried
-    #   by a LATEST-NONZERO scan (associative — no monotone rank field in
-    #   the pack), so ONE scatter-max suffices at every scale (a scatter is
-    #   ~9 ns/index on v5e: 0.87 ms at P=100k, 8.8 ms at 1M);
-    # - the owner's depth rank is cumsum(is_start) - 1, fused into the same
-    #   Pallas pass (scan_kernel.expand_scan);
-    # - the range BASE needs no scatter: marked slots ARE the starts, so
-    #   base rides a cummax of (is_start ? slot : 0).
-    # Indices (the cumsum offsets) are ascending -> sorted scatter path.
+    # - per-slot values need only (min_x, min_y, w) + a marker bit plus
+    #   the owner's start and rank, resolved by one of two equivalent
+    #   fixed-shape pipelines chosen STATICALLY by cost (both measured on
+    #   v5e at the 1M-cap scale, traces): a scatter-max of markers +
+    #   fused owner-scan costs ~8.8 ns per GAUSSIAN (the scatter walks all
+    #   P rows); scan_kernel.merge_expand's windowed candidate merge costs
+    #   ~5 ns per SLOT (it never scatters). Sparse-visibility /
+    #   tight-budget configs (slots < ~1.9 P, e.g. the 1M-cap trainer) take
+    #   the merge; huge-duplication configs (renderer: P=100k, 5M slots)
+    #   keep the scatter.
     starts = offsets[:p]  # ascending (cumsum); >= k_dup rows drop
-    fill = jnp.zeros((k_dup,), jnp.int32)  # fill must LOSE the max-scatter
     d = jnp.arange(k_dup, dtype=jnp.int32)
     # marker bit on top keeps the pack nonzero even for a (0,0) rect corner
     pack = ((1 << (2 * xb + yb)) | (minx_o << (xb + yb))
             | (miny_o << xb) | w_o)
-    marked = fill.at[starts].max(pack, mode="drop", indices_are_sorted=True)
-    base_in = jnp.where(marked > 0, d, 0)
-    # Owner rank comes from cumsum(is_start) - 1, NOT from rank bits in the
-    # pack: the latest-nonzero combiner (associative) carries the pack
-    # without any monotone field, so ONE scatter suffices at every scale
-    # (the old cummax owner-scan needed rank in the pack's high bits and a
-    # SECOND 8.8 ms scatter at P=1M when the bits no longer fit).
-    pack_d, base_of_d, rank_d = expand_scan(marked, base_in,
-                                            interpret=interpret)
+    if 8 * k_dup < 15 * p:  # 8.8*P + 0.3*K vs 5*K -> crossover K ~ 1.9*P
+        pack_d, base_of_d, rank_d = merge_expand(starts, pack, k_dup,
+                                                 interpret=interpret)
+    else:
+        fill = jnp.zeros((k_dup,), jnp.int32)  # fill must LOSE the max
+        marked = fill.at[starts].max(pack, mode="drop",
+                                     indices_are_sorted=True)
+        base_in = jnp.where(marked > 0, d, 0)
+        pack_d, base_of_d, rank_d = expand_scan(marked, base_in,
+                                                interpret=interpret)
     g_of_d = rank_d - 1
     minx_dd = (pack_d >> (xb + yb)) & ((1 << xb) - 1)
     miny_dd = (pack_d >> xb) & ((1 << yb) - 1)

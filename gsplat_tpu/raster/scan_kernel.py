@@ -1,12 +1,29 @@
-"""Fused multi-array cumulative-max Pallas kernel.
+"""Fused scan + owner-expansion Pallas kernels for binning.
 
-binning.py drives four owner-scans (cummax of scattered range markers) per
-rasterization. XLA lowers each `lax.cummax` to its own multi-pass
-reduce-window over the full array (~2ms each at 5M duplicates); fusing all
-four into ONE sequential-grid Pallas pass makes the whole thing
-bandwidth-bound (~0.5ms): each block is loaded once, scanned in registers
-(lane roll/max doubling + sublane combine), and carried across blocks in
-SMEM scalars.
+Three families:
+- ``multi_cummax`` / ``multi_cumsum``: several 1-D scans in ONE
+  sequential-grid pass (XLA lowers each `lax.cummax` to its own
+  multi-pass reduce-window, ~2ms each at 5M duplicates; fused they are
+  bandwidth-bound, ~0.5ms) — blocks scanned in registers (lane roll/max
+  doubling + sublane combine), carried across blocks in SMEM scalars.
+  The cumsum variant keeps a Kahan-compensated carry.
+- ``expand_scan``: the owner-scan triple (latest-nonzero pack, cummax
+  base, start-count rank) consumed by binning's duplicate expansion after
+  a scatter-max of range markers.
+- ``merge_expand``: the scatter-FREE equivalent of scatter-max +
+  expand_scan — resolves each slot's owning range by comparing the slot
+  index against a windowed slice of the ascending range starts (the
+  windows come from a tiny host-side searchsorted) and extracts the
+  owner's values with one byte-split bf16 matmul. Cost scales with the
+  SLOT count (~5 ns/slot measured) instead of the GAUSSIAN count
+  (~8.8 ns/row for the scatter at P=1M), so binning picks whichever is
+  statically cheaper for the config.
+
+Mosaic pitfall encountered here on v5e (workaround in ``_merge_kernel``,
+kept because the miscompile is SILENT): `x | (y << s)` DROPS the shifted
+term for s >= 16 when y is a lane-slice of an MXU output, while the
+slice, the shift, and the whole-matrix store are each exact in isolation
+— compose with multiply-add instead.
 """
 
 from __future__ import annotations
@@ -230,6 +247,141 @@ def expand_scan(marks, base_in, interpret: bool = False):
         scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
         interpret=interpret,
     )(mp, bp)
+    return [o.reshape(-1)[:k] for o in outs]
+
+
+_MB = 1024      # merge_expand: slots resolved per grid step
+_MW = 3         # candidate windows of _MB rows fetched per step
+
+
+def _merge_kernel(win_ref, s0, s1, s2, p0, p1, p2,
+                  pack_o, base_o, rank_o):
+    """Owner resolution for one block of _MB slots (see merge_expand).
+
+    Candidates (3 * _MB ascending starts, on LANES) vs slots (_MB, on
+    SUBLANES): the owner one-hot of slot d is the telescope
+    (starts[g] <= d) & (starts[g+1] > d) — exactly one lane per live
+    slot. Owner values come back through ONE batched matmul contracting
+    the candidate lanes: the rhs stacks byte-splits of (pack, start,
+    lane index), all EXACT in bf16 (0/1 one-hots, 8-bit values), so each
+    f32 output element is exact; 16-bit halves recompose in int32."""
+    k = pl.program_id(0)
+    wb = win_ref[k]
+    g_lanes = _MW * _MB
+    imax = 2147483647
+
+    # candidate rows -> one (1, _MB) lane row (sublanes->lanes relayout)
+    def row(ref):
+        return ref[...].reshape(1, _MB)
+
+    starts_row = jnp.concatenate([row(s0), row(s1), row(s2)], axis=1)
+    pack_row = jnp.concatenate([row(p0), row(p1), row(p2)], axis=1)
+    col = lax.broadcasted_iota(jnp.int32, (1, g_lanes), 1)
+    s_next = jnp.where(col < g_lanes - 1,
+                       jnp.roll(starts_row, -1, axis=1), imax)
+
+    d_col = (k * _MB + lax.broadcasted_iota(jnp.int32, (_MB, 1), 0))
+    onehot = ((starts_row <= d_col)
+              & (s_next > d_col)).astype(jnp.bfloat16)  # (_MB, 3*_MB)
+
+    # rhs logical rows: pack bytes 0-3, start bytes 0-3, lane-index bytes
+    # 0-1, built with sublane broadcasts + per-element shifts and spread
+    # onto even (2,1)-packed bf16 sublane pairs (logical row j at physical
+    # row (j//2)*4 + (j%2)). The spread + broadcast construction dates to
+    # chasing a corruption that turned out to be the compose() or-shift
+    # miscompile below; both are kept as belt-and-braces — they cost
+    # nothing (rhs width stays under one MXU tile) and this Mosaic
+    # version has shown several silent lowering bugs in this kernel.
+    ridx = lax.broadcasted_iota(jnp.int32, (24, g_lanes), 0)
+    jj = (ridx // 4) * 2 + (ridx % 2)  # logical byte-slot of this row
+    val = jnp.where(jj < 4, pack_row,
+                    jnp.where(jj < 8, starts_row, col))
+    byte = jnp.where(jj < 4, jj,
+                     jnp.where(jj < 8, jj - 4, jj - 8))
+    rhs = ((val >> (byte * 8)) & 255).astype(jnp.bfloat16)  # (24, 3*_MB)
+    picked = lax.dot_general(onehot, rhs, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    pi = picked.astype(jnp.int32)  # (_MB, 24) — each element exact
+
+    def compose(j, nbytes):
+        # Multiply-add, NOT or-with-shift: this Mosaic version silently
+        # drops `x << s` terms for s >= 16 when x is a lane-slice of the
+        # matmul output (verified: the slices and standalone shifts are
+        # both exact; the or-shift combination loses the high bytes).
+        # Bytes occupy disjoint ranges, so + == | exactly.
+        def c(b):  # logical byte-slot -> physical rhs row (see above)
+            jb = j + b
+            return (jb // 2) * 4 + (jb % 2)
+        acc = pi[:, c(0)]
+        for b in range(1, nbytes):
+            acc = acc + pi[:, c(b)] * (1 << (8 * b))
+        return acc
+
+    out_shape = (_MB // _LANES, _LANES)
+    pack_o[...] = compose(0, 4).reshape(out_shape)
+    base_o[...] = compose(4, 4).reshape(out_shape)
+    # rank = global owner row + 1; dead slots (no owner) read 0+wb*_MB+1,
+    # which every consumer masks (d >= num_dup)
+    rank_o[...] = (wb * _MB + compose(8, 2) + 1).reshape(out_shape)
+
+
+def merge_expand(starts, pack, k: int, interpret: bool = False):
+    """Scatter-free duplicate expansion: (pack_d, base_of_d, rank_d) [k].
+
+    Drop-in replacement for binning's ``fill.at[starts].max(pack)`` +
+    ``expand_scan`` pipeline (the scatter-max alone measured 8.8 ms at
+    P=1M on v5e). ``starts`` must be ascending (strictly increasing
+    wherever the row is a live marker — binning's actives-prefix cumsum
+    guarantees it); slot d's owner is the LAST g with starts[g] <= d:
+
+      pack_d[d] = pack[owner],  base_of_d[d] = starts[owner],
+      rank_d[d] = owner + 1  (== #{g : starts[g] <= d} wherever starts
+      are distinct — everywhere that matters: the repeated inactive-tail
+      starts own only slots >= num_dup, which every consumer masks).
+
+    The per-block candidate window is located host-side with a small
+    searchsorted (one query per _MB slots) and fetched through three
+    block-aligned BlockSpecs — the window [wb, wb+3) x _MB always covers
+    the block's owners because consecutive live starts differ by >= 1."""
+    p = starts.shape[0]
+    n_sub = -(-k // _MB)
+    k_pad = n_sub * _MB
+    # candidate table padded so any clamped 3-window fetch is in bounds;
+    # +inf (i32 max) pad rows can never win the <= d test
+    p_pad = max(-(-p // _MB), _MW) * _MB
+    imax = jnp.iinfo(jnp.int32).max
+    sp = jnp.full((p_pad,), imax, jnp.int32).at[:p].set(starts)
+    pp = jnp.pad(pack, (0, p_pad - p))
+
+    d0s = jnp.arange(n_sub, dtype=jnp.int32) * _MB
+    lo = jnp.searchsorted(sp, d0s, side="right").astype(jnp.int32) - 1
+    win = jnp.clip(lo // _MB, 0, p_pad // _MB - _MW)
+
+    rows = _MB // _LANES
+    sp2 = sp.reshape(-1, _LANES)
+    pp2 = pp.reshape(-1, _LANES)
+
+    def wspec(off):
+        # w[i] is in _MB-element units == (rows, _LANES)-block units
+        return pl.BlockSpec((rows, _LANES),
+                            lambda i, w, off=off: (w[i] + off, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec((rows, _LANES), lambda i, w: (i, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sub,),
+        in_specs=[wspec(0), wspec(1), wspec(2)] * 2,
+        out_specs=[out_spec] * 3,
+    )
+    outs = pl.pallas_call(
+        _merge_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((k_pad // _LANES, _LANES),
+                                        jnp.int32)] * 3,
+        interpret=interpret,
+    )(win, sp2, sp2, sp2, pp2, pp2, pp2)
     return [o.reshape(-1)[:k] for o in outs]
 
 

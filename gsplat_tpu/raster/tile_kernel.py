@@ -477,16 +477,19 @@ def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
             live = (alpha > 0.0).astype(jnp.float32)
             dalpha = (a_pg * v["t_g"] - s / (1.0 - alpha)) * v["gate"] * live
             # 0.99-clamp pass-through (backward.cu:477-481): opa*exp(power).
+            # ``dalpha`` already carries the gate*live mask, so de = dalpha *
+            # g_exp is shared by dpower and the dopa reduction below.
             opa_c = jnp.transpose(v["opa"])
-            dpower = dalpha * opa_c * v["g_exp"]
+            de = dalpha * v["g_exp"]
+            dpower = de * opa_c
 
             # dcoeff[i, g] = sum_p basis[i, p] * dpower[g, p] — one MXU
             # matmul contracting the pixel lanes, then the chain rule back
-            # to the RAW rows on (1, CHUNK) vectors.
-            dcoeff = lax.dot_general(basis_t, dpower,
-                                     (((1,), (1,)), ((), ())),
-                                     precision=lax.Precision.HIGHEST,
-                                     preferred_element_type=jnp.float32)
+            # to the RAW rows on (1, CHUNK) vectors. The hi/lo split is
+            # EXACT on the basis operand (monomials need <= 12 mantissa
+            # bits at these tile sizes; hi+lo carries 16) and ~2^-18 on
+            # dpower — 3 MXU passes instead of HIGHEST's 6.
+            dcoeff = _dot_hl(basis_t, dpower, (((1,), (1,)), ((), ())))
             d0, d1, d2, d3, d4, d5 = (dcoeff[i:i + 1, :] for i in range(6))
             x, y = v["x"], v["y"]
             a, b, c = v["a"], v["b"], v["c"]
@@ -497,14 +500,12 @@ def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
             dy = b * d3 + c * d4 - (c * y + b * x) * d5
             # drgb[ch, g] = sum_p dC[ch, p] * w[g, p]
             drgb = _dot_hl(dc, v["w"], (((1,), (1,)), ((), ())))
-            # dopa[1, g] = sum_p g_exp*dalpha*live — ones-matmul lane
-            # reduction (keeps the result a lane vector; a VPU axis-1
-            # reduce would emit a (CHUNK, 1) sublane vector needing a
-            # relayout). ones lhs is exact in bf16; split only the signed
-            # rhs (2 passes).
+            # dopa[1, g] = sum_p g_exp*dalpha — ones-matmul lane reduction
+            # (keeps the result a lane vector; a VPU axis-1 reduce would
+            # emit a (CHUNK, 1) sublane vector needing a relayout). ones
+            # lhs is exact in bf16; split only the signed rhs (2 passes).
             ones_row = jnp.ones((1, n_pix), jnp.bfloat16)
-            o_rhs = v["g_exp"] * dalpha * live
-            rhi, rlo = _split_hi_lo(o_rhs)
+            rhi, rlo = _split_hi_lo(de)
             dopa_dims = (((1,), (1,)), ((), ()))
             dopa = (lax.dot_general(ones_row, rhi, dopa_dims,
                                     preferred_element_type=jnp.float32)

@@ -112,6 +112,7 @@ def main():
     argv = [a for a in argv if a != "--breakdown"]
     shapes = [(64, 16), (64, 32), (128, 32)]
     if argv:
+        # tx,ty[,chunk]
         shapes = [tuple(int(v) for v in a.split(",")) for a in argv]
 
     sh = 3
@@ -134,11 +135,14 @@ def main():
     opt = OptimizationConfig()
     keys = jax.random.split(jax.random.PRNGKey(0), 64)
 
-    for tx, ty in shapes:
+    for shape in shapes:
+        tx, ty = shape[0], shape[1]
+        chunk = shape[2] if len(shape) > 2 else 128
         # the train step donates its state args — give each shape a copy
         st0 = jax.tree.map(jnp.copy, mstate)
         ad0 = jax.tree.map(jnp.copy, madam0)
-        s = RasterizeSettings(k_dup=1 << 21, tile_x=tx, tile_y=ty, chunk=128)
+        s = RasterizeSettings(k_dup=1 << 21, tile_x=tx, tile_y=ty,
+                              chunk=chunk)
         probe = jax.jit(lambda st, c, s=s: rasterize(
             st.xyz, st.get_scaling(), st.get_rotation(),
             st.get_opacity()[:, 0], st.get_features(), c, sh, bg, s,
@@ -156,7 +160,7 @@ def main():
                              mgts[i % 4], bg, jnp.asarray(float(i + 2)), sh)
         jax.block_until_ready(m.loss)
         ms = (time.time() - t0) * 1000.0 / n
-        print(f"tile {tx}x{ty}: k_dup={s.k_dup} need={need} "
+        print(f"tile {tx}x{ty} chunk {chunk}: k_dup={s.k_dup} need={need} "
               f"{ms:7.1f} ms/it  loss={float(m.loss):.5f}", flush=True)
         if do_breakdown:
             breakdown(mstate, mcams[0], s, sh, bg, mw, mh)

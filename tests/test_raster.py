@@ -305,6 +305,76 @@ def test_is_used_matches_oracle(seed, opa_hi, slack):
     assert not np.any(got & ~np.asarray(out.used_tile))
 
 
+def test_binning_merge_branch_matches_scatter_branch():
+    """bin_gaussians statically picks the merge_expand expansion when the
+    slot budget is tight relative to P (binning.py crossover). A tight
+    budget (merge branch) and a generous budget (scatter branch) must
+    composite the SAME image: per-tile duplicate lists are identical, only
+    trailing sentinel chunks differ."""
+    # tiny splats (~1 tile each) so the tight budget lands in the merge
+    # regime: 8 * k_dup < 15 * P
+    p = 8000
+    rng = np.random.default_rng(5)
+    means = rng.uniform(-1.2, 1.2, size=(p, 3)).astype(np.float32)
+    means[:, 2] = rng.uniform(2.0, 6.0, size=p)
+    scales = np.exp(rng.uniform(-5.5, -4.5, size=(p, 3))).astype(np.float32)
+    quats = normalize(jnp.asarray(rng.normal(size=(p, 4)).astype(np.float32)))
+    opa = jax.nn.sigmoid(jnp.asarray(
+        rng.uniform(-2.0, 6.0, size=(p,)).astype(np.float32)))
+    shs = (0.3 * rng.normal(size=(p, (SH_DEGREE + 1) ** 2, 3))
+           ).astype(np.float32)
+    shs[:, 0, :] += 1.0
+    params = (jnp.asarray(means), jnp.asarray(scales), quats, opa,
+              jnp.asarray(shs))
+    cam = make_cam()
+    generous = run_fast(params, cam)          # scatter branch
+    need = int(generous.num_dup)
+    k_tight = -(-need // SETTINGS.chunk) * SETTINGS.chunk
+    assert 8 * k_tight < 15 * p, (need, k_tight)  # merge regime
+    import dataclasses
+    tight_settings = dataclasses.replace(SETTINGS, k_dup=k_tight)
+    means, scales, quats, opa, shs = params
+    tight = rasterize(means, scales, quats, opa, shs, cam, SH_DEGREE, BG,
+                      tight_settings)
+    assert int(tight.num_dup) == need
+    np.testing.assert_allclose(np.asarray(tight.image),
+                               np.asarray(generous.image), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tight.radii),
+                                  np.asarray(generous.radii))
+
+
+def test_merge_expand_matches_scatter_pipeline():
+    """scan_kernel.merge_expand (the scatter-free owner expansion binning
+    uses) must reproduce the scatter-max + expand_scan pipeline on every
+    live slot, across window-boundary, overflow (num_dup > k), tiny, and
+    empty cases — including an active count exactly one past the _MB
+    candidate-window size."""
+    from gsplat_tpu.raster.scan_kernel import expand_scan, merge_expand
+
+    rng = np.random.default_rng(0)
+    cases = [(50, 80, 700), (1000, 1200, 5000), (3, 5, 40), (0, 4, 30),
+             (600, 600, 512), (513, 513, 2048)]
+    for p_act, p_total, k in cases:
+        counts = np.zeros(p_total, np.int32)
+        counts[:p_act] = rng.integers(1, 9, size=p_act)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        num_dup = int(offsets[-1])
+        starts = offsets[:p_total]
+        pack = rng.integers(1, 1 << 23, size=p_total).astype(np.int32)
+
+        marked = jnp.zeros((k,), jnp.int32).at[jnp.asarray(starts)].max(
+            jnp.asarray(pack), mode="drop", indices_are_sorted=True)
+        base_in = jnp.where(marked > 0, jnp.arange(k, dtype=jnp.int32), 0)
+        refs = expand_scan(marked, base_in, interpret=True)
+        gots = merge_expand(jnp.asarray(starts), jnp.asarray(pack), k,
+                            interpret=True)
+        live = np.arange(k) < min(num_dup, k)
+        for name, r, g in zip(("pack", "base", "rank"), refs, gots):
+            np.testing.assert_array_equal(
+                np.asarray(r)[live], np.asarray(g)[live],
+                err_msg=f"{name} @ p_act={p_act} k={k}")
+
+
 def test_expand_scan_matches_numpy():
     """Direct unit test of the fused owner-scan triple (scan_kernel.
     expand_scan): latest-nonzero carry, cummax base, 1-based rank —
