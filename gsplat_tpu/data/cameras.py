@@ -95,12 +95,19 @@ class LazyCamera:
         self.uid = info.uid
         self._image: Optional[np.ndarray] = None
         self._camera: Optional[CameraParams] = None
+        # load() may run on a prefetch worker (data/prefetch.py) while the
+        # training thread calls load()/unload(); serialize the transitions.
+        self._lock = __import__("threading").Lock()
 
     @property
     def loaded(self) -> bool:
         return self._image is not None
 
     def load(self):
+        with self._lock:
+            return self._load_locked()
+
+    def _load_locked(self):
         if self._image is not None:
             return self._camera, self._image
         info = self.info
@@ -146,5 +153,6 @@ class LazyCamera:
         return cam, self._image
 
     def unload(self):
-        self._image = None
-        self._camera = None
+        with self._lock:
+            self._image = None
+            self._camera = None

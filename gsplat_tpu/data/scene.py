@@ -23,6 +23,7 @@ import numpy as np
 
 from gsplat_tpu.core.camera import fov2focal
 from gsplat_tpu.data.cameras import CameraInfo, LazyCamera
+from gsplat_tpu.data.prefetch import CameraPrefetcher
 from gsplat_tpu.data.readers import (DynamicSceneInfo, SceneInfo,
                                      SCENE_LOAD_CALLBACKS, detect_scene_type)
 
@@ -124,7 +125,8 @@ class DynamicScene:
                  max_frame: int = 100, min_frame: int = 0,
                  shuffle: bool = True,
                  max_in_memory: int = MAX_FRAME_IN_MEMORY,
-                 max_test_in_memory: int = MAX_TEST_FRAME_IN_MEMORY):
+                 max_test_in_memory: int = MAX_TEST_FRAME_IN_MEMORY,
+                 prefetch_workers: int = 2):
         self.model_path = model_path
         info: DynamicSceneInfo = SCENE_LOAD_CALLBACKS["SwinGS"](
             source_path, eval_split=eval_split, init_type=init_type,
@@ -155,14 +157,32 @@ class DynamicScene:
         self.test_cam_at = [wrap(cs) for cs in info.test_cam_at]
         self._active_train: List[int] = []
         self._active_test: List[int] = []
+        self._prefetcher = (CameraPrefetcher(prefetch_workers)
+                            if prefetch_workers > 0 else None)
 
     # ---- bounded activate/deactivate (scene/__init__.py:196-273) ----
 
+    def _pf_key(self, cam_lists, t):
+        return ("train" if cam_lists is self.train_cam_at else "test", t)
+
+    def prefetch_train_frames(self, frames) -> None:
+        """Start background loads for frames the trainer will sample next
+        (decode overlaps the device step; see data/prefetch.py). Frames
+        beyond the video or already resident cost nothing."""
+        if self._prefetcher is None:
+            return
+        for t in frames:
+            if 0 <= t < len(self.train_cam_at):
+                self._prefetcher.schedule(("train", t), self.train_cam_at[t])
+
     def _activate(self, frames, cam_lists, active, limit):
+        pf = self._prefetcher
         for t in frames:
             if t in active:
                 active.remove(t)
             active.append(t)  # move-to-back LRU
+            if pf is not None:
+                pf.wait(self._pf_key(cam_lists, t))
             for cam in cam_lists[t]:
                 cam.load()
         while len(active) > limit:
@@ -170,6 +190,10 @@ class DynamicScene:
             if evict in frames:
                 active.append(evict)
                 continue
+            # an unload racing a half-done background load would leak the
+            # freshly decoded image — drain the frame's loads first
+            if pf is not None:
+                pf.wait(self._pf_key(cam_lists, evict))
             for cam in cam_lists[evict]:
                 cam.unload()
 
@@ -186,12 +210,17 @@ class DynamicScene:
         return [c for t in frames for c in self.test_cam_at[t]]
 
     def unload_all(self):
-        for t in self._active_train:
-            for c in self.train_cam_at[t]:
-                c.unload()
+        if self._prefetcher is not None:
+            self._prefetcher.drain()
+        for cams in self.train_cam_at:  # incl. prefetched-but-unactivated
+            for c in cams:
+                if c.loaded:
+                    c.unload()
         self._active_train.clear()
 
     def unload_all_test(self):
+        if self._prefetcher is not None:
+            self._prefetcher.drain()
         for t in self._active_test:
             for c in self.test_cam_at[t]:
                 c.unload()

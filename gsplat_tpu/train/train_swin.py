@@ -98,6 +98,11 @@ def train_slide_window(state, adam, scene: DynamicScene,
     nbr_indices = None
     enable_arap = getattr(args, "enable_arap", False)
     n_dp = getattr(args, "data_parallel", 1)
+    # warm this window's frames and the one entering at the next tick on
+    # the background decoder threads (data/prefetch.py) — the device steps
+    # below hide the IO the reference pays synchronously per window
+    scene.prefetch_train_frames(
+        list(swin_mgr.sampled_frames()) + [swin_mgr.frame_end])
     t_start = time.time()
     for it in range(first_iter + 1, total + 1):
         if it == getattr(args, "debug_from", -1):

@@ -221,3 +221,58 @@ def test_swings_reader_min_frame(tmp_path):
     cams = scene.get_train_cams_at([0])
     cam, img = cams[0].load()
     assert img.shape[2] == 3
+
+
+def test_camera_prefetcher(tmp_path):
+    """Background prefetch (data/prefetch.py): scheduled frames load off
+    the main thread, activation waits on in-flight loads, eviction never
+    races a pending load into a leak, and unload_all frees frames that
+    were prefetched but never activated."""
+    import threading
+    import time as _time
+
+    from gsplat_tpu.data.prefetch import CameraPrefetcher
+
+    class SlowCam:
+        def __init__(self):
+            self.loads = 0
+            self.loaded = False
+            self.loader_thread = None
+
+        def load(self):
+            _time.sleep(0.05)
+            self.loads += 1
+            self.loaded = True
+            self.loader_thread = threading.current_thread().name
+            return None, None
+
+        def unload(self):
+            self.loaded = False
+
+    pf = CameraPrefetcher(max_workers=2)
+    cams = [SlowCam() for _ in range(3)]
+    assert pf.schedule("f0", cams) == 3
+    assert pf.schedule("f0", cams) == 0  # pending key: no resubmission
+    pf.wait("f0")
+    assert all(c.loaded for c in cams)
+    assert all(c.loader_thread.startswith("cam-prefetch")
+               for c in cams)
+    assert pf.schedule("f0", cams) == 0  # all loaded: nothing to submit
+    pf.wait("never-scheduled")  # no-op
+    pf.shutdown()
+
+    # end-to-end through DynamicScene: prefetched frames are already
+    # resident at activation time and get freed by unload_all
+    _make_swings_fixture(tmp_path)
+    scene = DynamicScene(str(tmp_path), "", max_frame=4, num_pts=20,
+                         max_in_memory=2, prefetch_workers=2)
+    scene.prefetch_train_frames([0, 1, 99])  # out-of-range is ignored
+    scene._prefetcher.drain()
+    assert scene.train_cam_at[0][0].loaded  # resident before activation
+    cams = scene.get_train_cams_at([0, 1])
+    assert all(c.loaded for c in cams)
+    scene.prefetch_train_frames([3])  # prefetched, never activated
+    scene.get_train_cams_at([2])  # evicts frame 0
+    assert not scene.train_cam_at[0][0].loaded
+    scene.unload_all()
+    assert not scene.train_cam_at[3][0].loaded  # freed despite no activate
