@@ -78,7 +78,9 @@ def make_dp_swin_train_step(mesh: Mesh, opt: OptimizationConfig,
         # is drawn from the same shuffled (camera, frame) stack the
         # single-device loop pops from (train_swin.py:111-132), so frame0
         # has the single-device sample's marginal distribution — each
-        # gaussian's expected injections/iteration are identical. What
+        # gaussian's expected injections/iteration are identical (verified
+        # by simulation: tests/test_swin.py::
+        # test_dp_noise_gate_frame_marginal). What
         # differs is only the within-step correlation: the gradient
         # averages n frames while the noise gates on one of them, a
         # second-order effect on an exploration term.

@@ -295,3 +295,40 @@ def test_swin_e2e_training_min_frame(tmp_path):
     assert data["start_frame"].max() <= 4
     assert data["end_frame"].max() <= 4 + 2
     assert np.all(np.isfinite(data["xyz"]))
+
+
+def test_dp_noise_gate_frame_marginal():
+    """Quantitative check of the swin-DP noise-gating claim
+    (parallel/swin_dp.py): the DP step gates noise at the BATCH'S FIRST
+    frame while single-device gates at the iteration's sampled frame.
+    Both draw from the same shuffled (camera, frame) stack
+    (train_swin.py viewpoint_stack), so the gate frame's marginal
+    distribution must be identical — each frame uniform at 1/n_frames.
+    Simulates the exact pop-with-refill process for both modes."""
+    import random as _random
+
+    rng = _random.Random(0)
+    frames, cams_per_frame, n_dp, iters = 5, 3, 4, 40_000
+    window = [(c, t) for t in range(frames) for c in range(cams_per_frame)]
+
+    def simulate(batch):
+        counts = [0] * frames
+        stack = []
+        for _ in range(iters):
+            gate_frame = None
+            for j in range(batch):
+                if not stack:
+                    stack = list(window)
+                    rng.shuffle(stack)
+                _, t = stack.pop()
+                if j == 0:
+                    gate_frame = t  # swin_dp gates at frame_batch[0]
+            counts[gate_frame] += 1
+        return [c / iters for c in counts]
+
+    single = simulate(1)
+    dp = simulate(n_dp)
+    for t in range(frames):
+        assert abs(single[t] - 1 / frames) < 0.01, single
+        assert abs(dp[t] - 1 / frames) < 0.01, dp
+        assert abs(single[t] - dp[t]) < 0.015, (single, dp)
