@@ -92,12 +92,18 @@ def mark_visible(means3d, camera: CameraParams):
     return depth > 0.2
 
 
-# Above this slot count the gradient reduction routes through sort +
-# fused cumsum + boundary gathers instead of XLA scatter-add: scatter-add
-# costs ~11 ns/index at 100k-row targets but ~65 ns at 1M rows (random
-# HBM read-modify-write), and does NOT improve with sorted indices
-# (measured 124 ns/index). The sort pipeline is ~15 ns/index flat.
+# The gradient reduction routes through sort + fused cumsum + boundary
+# gathers instead of XLA scatter-add when either side is big. Measured on
+# v5e (device traces, salted inputs): scatter-add runs ~8-12 ns/index
+# while the TARGET table stays <= ~250k rows (~9 MB — on-chip working
+# set) and cliffs to ~100 ns/index at >= 300k rows (random HBM
+# read-modify-write; the sliding-window trainer's immature+matured union
+# at cap 200k paid 30 ms/step here). Sorted indices do not help
+# (124 ns/index measured), nor does chunking the target into small-table
+# passes (each chunk re-streams every index at ~15 ns). The sort
+# pipeline is ~15 ns/index flat in the slot count.
 _SEGSUM_MIN_SLOTS = 1 << 20
+_SCATTER_MAX_ROWS = 250_000
 
 
 def _segsum_reduce(dfeat, gid, seg_bounds, p1: int, interpret: bool):
@@ -142,7 +148,7 @@ def _gather_rows_t_bwd(p1, interpret, res, dfeat):
     import numpy as _np
 
     gid, seg_bounds = res
-    if gid.shape[0] >= _SEGSUM_MIN_SLOTS:
+    if gid.shape[0] >= _SEGSUM_MIN_SLOTS or p1 > _SCATTER_MAX_ROWS:
         dtable = _segsum_reduce(dfeat, gid, seg_bounds, p1, interpret)
     else:
         dtable = jnp.zeros((p1, dfeat.shape[0]), dfeat.dtype
