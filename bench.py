@@ -274,6 +274,68 @@ def main():
     m_ms_it = statistics.median(m_ms)
     log(f"1M-cap {mw}x{mh}: {m_ms_it:.1f} ms/it")
 
+    # --- swin stage: sliding-window step at the run_exp1 scale ---
+    # cap 200k immature + 200k matured buffer (the union table the
+    # deformable render and gradient reduction operate on is 2x cap rows),
+    # swin 8, sh_degree 1, 1280x720 — the reference's actorshq experiment
+    # class (run_exp1.sh:8-13).
+    from gsplat_tpu.model import swin as swin_lib
+    from gsplat_tpu.train import swin_step as swin_step_lib
+
+    s_sh, s_cap, s_w, s_h, s_wit = ((1, 2000, 160, 96, 2) if on_cpu
+                                    else (1, 200_000, 1280, 720, 10))
+    scams = _orbit_cameras(4, s_w, s_h)
+    sgt_render = jax.jit(lambda c: rasterize(
+        *_make_scene(p_gt, s_sh, seed=1), c, s_sh, bg,
+        dataclasses.replace(chw, k_dup=settings.k_dup)).image)
+    sgts = [sgt_render(c) for c in scams]
+    jax.block_until_ready(sgts[-1])
+    s_state = swin_lib.create_from_points(
+        rng.uniform(-1, 1, (s_cap, 3)).astype(np.float32),
+        rng.uniform(0, 1, (s_cap, 3)).astype(np.float32),
+        capacity=s_cap, max_sh_degree=s_sh, max_lifespan=8,
+        buffer_size=s_cap, deform=True)
+    s_adam = optim.init(s_state.params())
+    ssettings = dataclasses.replace(settings,
+                                    k_dup=(1 << 15) if on_cpu else 1 << 20)
+    sprobe = jax.jit(lambda st, c: rasterize(
+        *(lambda kw: (kw["means3d"], kw["scales"], kw["quats"],
+                      kw["opacities"], kw["shs"]))(
+            swin_lib.union_params_at(st, jnp.asarray(0.0))),
+        c, s_sh, bg, ssettings,
+        alive=swin_lib.union_params_at(st, jnp.asarray(0.0))["alive"]
+    ).num_dup)
+    sneed = max(int(sprobe(s_state, c)) for c in scams)
+    ssettings = dataclasses.replace(
+        ssettings, k_dup=-(-int(sneed * 13 // 10) // settings.chunk)
+        * settings.chunk)
+    log(f"swin dup budget {ssettings.k_dup} (need {sneed})")
+    sstep = swin_step_lib.make_swin_train_step(opt, ssettings,
+                                               spatial_lr_scale=4.0)
+    s_state, s_adam, sm = sstep(s_state, s_adam, keys[0], scams[0], sgts[0],
+                                bg, jnp.asarray(1.0), jnp.asarray(0.0),
+                                s_sh)
+    jax.block_until_ready(sm.loss)
+    s_ms, s_losses = [], []
+    sit = 0
+    for window in range(3):
+        t0 = time.time()
+        for _ in range(s_wit):
+            s_state, s_adam, sm = sstep(
+                s_state, s_adam, keys[sit + 1], scams[sit % 4],
+                sgts[sit % 4], bg, jnp.asarray(float(sit + 2)),
+                jnp.asarray(float(sit % 8)), s_sh)
+            sit += 1
+        jax.block_until_ready(sm.loss)
+        s_ms.append((time.time() - t0) * 1000.0 / s_wit)
+        s_losses.append(float(sm.loss))
+        log(f"swin window {window}: {s_ms[-1]:.1f} ms/it "
+            f"loss={s_losses[-1]:.5f}")
+    assert all(np.isfinite(l) for l in s_losses), s_losses
+    assert len(set(s_losses)) == len(s_losses), s_losses
+    s_ms_it = statistics.median(s_ms)
+    log(f"swin cap {s_cap} {s_w}x{s_h}: {s_ms_it:.1f} ms/it")
+
     print(json.dumps({
         "metric": "train_iters_per_sec",
         "value": round(its, 2),
@@ -293,7 +355,11 @@ def main():
                    "train_1m_gaussians": mp,
                    "train_1m_image": f"{mw}x{mh}",
                    "train_1m_num_dup": mneed,
-                   "train_1m_windows_ms": [round(x, 1) for x in m_ms]},
+                   "train_1m_windows_ms": [round(x, 1) for x in m_ms],
+                   "swin_ms_per_iter": round(s_ms_it, 1),
+                   "swin_cap": s_cap,
+                   "swin_image": f"{s_w}x{s_h}",
+                   "swin_windows_ms": [round(x, 1) for x in s_ms]},
     }))
 
 
