@@ -150,28 +150,26 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     h_rect = jnp.maximum(max_y - min_y, 0)
     ok_opa = proc.opacity >= 1.0 / 255.0
 
-    # ---- depth pre-sort: all later work happens in depth-rank space ----
-    active = proc.visible & ok_opa & (w_rect > 0) & (h_rect > 0)
-    depth_key = jnp.where(active, proc.depth, jnp.inf)
-    iota_p = jnp.arange(p, dtype=jnp.int32)
-    _, order = lax.sort((depth_key, iota_p), dimension=0, num_keys=1)
-    _, inv_order = lax.sort((order, iota_p), dimension=0, num_keys=1)
-
-    # All per-gaussian rect fields ride ONE u32 (minx, miny, w, h) so the
-    # reorder into depth-rank space is a single 1-column gather (separate
-    # counts/minx/rects gathers measured 0.66 + 0.14 + 0.14 ms per frame at
-    # P=100k on v5e — gather cost is per-index, so pack the columns).
+    # All per-gaussian rect fields ride ONE u32 (minx, miny, w, h): the
+    # reorder into depth-rank space then costs nothing extra — the packed
+    # word rides the depth sort as a second PAYLOAD operand (a separate
+    # [P, 2] row gather by ``order`` measured 5.2 ms at P=1M on v5e; the
+    # extra sort operand costs ~0.8 ms).
     xb = max(int(grid_x).bit_length(), 1)    # holds 0..grid_x inclusive
     yb = max(int(grid_y).bit_length(), 1)
     assert 2 * (xb + yb) <= 31, f"rect pack overflow: grid {grid_x}x{grid_y}"
+    active = proc.visible & ok_opa & (w_rect > 0) & (h_rect > 0)
     w_m = jnp.where(active, w_rect, 0)
     h_m = jnp.where(active, h_rect, 0)
     rect_all = ((min_x << (yb + xb + yb)) | (min_y << (xb + yb))
                 | (w_m << yb) | h_m)
-    # 2-column row gather: a 1-column s32 permutation gather measured
-    # 15 ns/index on v5e where >=2-column ROW gathers run 1.7 ns/index —
-    # duplicating the column is 9x cheaper than gathering it alone.
-    rect_all_d = jnp.stack([rect_all, rect_all], 1)[order][:, 0]
+
+    # ---- depth pre-sort: all later work happens in depth-rank space ----
+    depth_key = jnp.where(active, proc.depth, jnp.inf)
+    iota_p = jnp.arange(p, dtype=jnp.int32)
+    _, order, rect_all_d = lax.sort((depth_key, iota_p, rect_all),
+                                    dimension=0, num_keys=1)
+    _, inv_order = lax.sort((order, iota_p), dimension=0, num_keys=1)
     minx_o = rect_all_d >> (yb + xb + yb)
     miny_o = (rect_all_d >> (xb + yb)) & ((1 << yb) - 1)
     w_o = (rect_all_d >> yb) & ((1 << xb) - 1)
