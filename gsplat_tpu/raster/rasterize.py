@@ -160,51 +160,36 @@ def _gather_rows_t_bwd(p1, interpret, res, dfeat):
 _gather_rows_t.defvjp(_gather_rows_t_fwd, _gather_rows_t_bwd)
 
 
-@jax.custom_vjp
-def _permute_rows(table, order, inv_order):
-    """``table[order]`` whose TRANSPOSE is a gather by the inverse
-    permutation instead of XLA's scatter-add (85 ns/index at P=1M vs a
-    7 ns gather; the inverse comes from one extra cheap sort in binning)."""
-    return table[order]
+def _feat_columns(proc):
+    """[P, 9] RAW kernel feature rows (x, y, a, b, c, opa, rgb) in
+    ORIGINAL gaussian order — handed to binning, which reorders them into
+    depth-rank space by riding the depth sort as payloads
+    (binning._sort_with_table; the separate permutation gather this
+    replaces measured 6.5 ms at P=1M)."""
+    return jnp.stack([
+        proc.xy[:, 0], proc.xy[:, 1],
+        proc.conic[:, 0], proc.conic[:, 1], proc.conic[:, 2],
+        proc.opacity, proc.rgb[:, 0], proc.rgb[:, 1], proc.rgb[:, 2],
+    ], axis=1)
 
 
-def _permute_rows_fwd(table, order, inv_order):
-    return table[order], inv_order
+def _slot_features(table, gid, seg_bounds, dtype=jnp.float32,
+                   interpret=False):
+    """[9, K_slots] dense kernel feature stream from the depth-ordered
+    [P, 9] table (``Binning.feat_table``).
 
-
-def _permute_rows_bwd(inv_order, dt):
-    import numpy as _np
-
-    zero_i = _np.zeros(inv_order.shape, dtype=jax.dtypes.float0)
-    return (dt[inv_order], zero_i, zero_i)
-
-
-_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
-
-
-def _slot_features(proc, gid, order, inv_order, seg_bounds,
-                   dtype=jnp.float32, interpret=False):
-    """[9, K_slots] RAW kernel feature rows (x, y, a, b, c, opa, rgb).
-
-    ``gid`` indexes DEPTH-RANK space (binning pre-sorts by depth), so the
-    per-gaussian table is permuted by ``order`` first (a P-row gather —
-    cheap), then ONE row-gather per slot (per-index gather cost amortized
-    over the 9-float row) and one layout copy to the dense [9, K] array the
-    kernel streams. The quadratic-form expansion to local pixel coordinates
-    happens INSIDE the Pallas kernel (tile_kernel._alphas) — in XLA it
-    materialized as a dozen lane-padded refetch fusions.
+    ``gid`` indexes DEPTH-RANK space; ONE row-gather per slot (per-index
+    gather cost amortized over the 9-float row) and one layout copy to
+    the dense [9, K] array the kernel streams. The quadratic-form
+    expansion to local pixel coordinates happens INSIDE the Pallas kernel
+    (tile_kernel._alphas) — in XLA it materialized as a dozen lane-padded
+    refetch fusions.
     Padding slots (gid == P) hit an appended ALL-ZERO table row => alpha 0
     in the kernel (an explicit index-clamp + mask multiply measured +4.5ms
     at 5.7M slots; the zero row keeps the gather's in-bounds fast path).
     The backward of the row gather is the per-gaussian scatter-add that
     replaces the reference's atomicAdd reduction (backward.cu:523-554).
     """
-    table = _permute_rows(jnp.stack([
-        proc.xy[:, 0], proc.xy[:, 1],
-        proc.conic[:, 0], proc.conic[:, 1], proc.conic[:, 2],
-        proc.opacity, proc.rgb[:, 0], proc.rgb[:, 1], proc.rgb[:, 2],
-    ], axis=1), order, inv_order)  # [P, 9] in depth order (differentiable)
-
     # casting BEFORE the big gather halves its HBM traffic (bf16 inference)
     table = jnp.concatenate(
         [table.astype(dtype), jnp.zeros((1, 9), dtype)], axis=0)
@@ -230,16 +215,17 @@ def rasterize(
         colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
         scale_modifier=scale_modifier, alive=alive)
 
-    # Binning is integer bookkeeping — no gradients through the sort.
+    # Binning is integer bookkeeping — no gradients through the sort,
+    # EXCEPT the feature table riding it as differentiable payloads.
     proc_ng = jax.tree.map(lax.stop_gradient, proc)
     binn = binning_lib.bin_gaussians(
         proc_ng, tile_x=s.tile_x, tile_y=s.tile_y,
         grid_x=grid_x, grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk,
         align=s.super_chunks,  # both kernels walk SUPER chunks per step
-        interpret=s.interpret)
+        interpret=s.interpret, feat_table=_feat_columns(proc))
 
     feat = _slot_features(
-        proc, binn.gid, binn.order, binn.inv_order, binn.seg_bounds,
+        binn.feat_table, binn.gid, binn.seg_bounds,
         dtype=jnp.bfloat16 if s.inference else jnp.float32,
         interpret=s.interpret)
 

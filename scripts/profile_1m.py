@@ -22,7 +22,7 @@ from gsplat_tpu.raster import binning as binning_lib  # noqa: E402
 from gsplat_tpu.raster import project as project_lib  # noqa: E402
 from gsplat_tpu.raster import tile_kernel  # noqa: E402
 from gsplat_tpu.raster.rasterize import (  # noqa: E402
-    RasterizeSettings, _slot_features, rasterize)
+    RasterizeSettings, _feat_columns, _slot_features, rasterize)
 from gsplat_tpu.train import step as step_lib  # noqa: E402
 from gsplat_tpu.train.config import OptimizationConfig  # noqa: E402
 
@@ -52,10 +52,10 @@ def breakdown(mstate, cam, s, sh, bg, w, h):
     binf = jax.jit(lambda: binning_lib.bin_gaussians(
         proc, tile_x=s.tile_x, tile_y=s.tile_y, grid_x=grid_x,
         grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk,
-        align=s.super_chunks))
+        align=s.super_chunks, feat_table=_feat_columns(proc)))
     binn = binf()
-    featf = jax.jit(lambda: _slot_features(proc, binn.gid, binn.order,
-                                           binn.inv_order, binn.seg_bounds,
+    featf = jax.jit(lambda: _slot_features(binn.feat_table, binn.gid,
+                                           binn.seg_bounds,
                                            dtype=jnp.float32))
     feat = featf()
     num_tiles, n_pix = grid_x * grid_y, s.tile_x * s.tile_y

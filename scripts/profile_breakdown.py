@@ -19,7 +19,7 @@ from gsplat_tpu.raster import binning as binning_lib  # noqa: E402
 from gsplat_tpu.raster import project as project_lib  # noqa: E402
 from gsplat_tpu.raster import tile_kernel  # noqa: E402
 from gsplat_tpu.raster.rasterize import (  # noqa: E402
-    RasterizeSettings, _slot_features, rasterize)
+    RasterizeSettings, _feat_columns, _slot_features, rasterize)
 
 
 def timeit(fn, *args, n=20, warm=2):
@@ -63,12 +63,11 @@ def main():
         binf = jax.jit(lambda: binning_lib.bin_gaussians(
             proc, tile_x=s.tile_x, tile_y=s.tile_y, grid_x=grid_x,
             grid_y=grid_y, k_dup=s.k_dup, chunk=s.chunk,
-            align=tile_kernel.SUPER))
+            align=tile_kernel.SUPER, feat_table=_feat_columns(proc)))
         binn = binf()
 
         dt = jnp.bfloat16 if inference else jnp.float32
-        featf = jax.jit(lambda: _slot_features(proc, binn.gid, binn.order,
-                                               binn.inv_order,
+        featf = jax.jit(lambda: _slot_features(binn.feat_table, binn.gid,
                                                binn.seg_bounds, dtype=dt))
         feat = featf()
 
