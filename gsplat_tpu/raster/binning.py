@@ -265,7 +265,12 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     # marker bit on top keeps the pack nonzero even for a (0,0) rect corner
     pack = ((1 << (2 * xb + yb)) | (minx_o << (xb + yb))
             | (miny_o << xb) | w_o)
-    if 8 * k_dup < 15 * p:  # 8.8*P + 0.3*K vs 5*K -> crossover K ~ 1.9*P
+    # Crossover from two hardware measurements: (P=100k, K=263k) merge
+    # 0.74 ms vs scatter+scan 1.17; (P=1M, K=1.82M) merge 9.26 vs 9.1 —
+    # the merge's per-slot cost grows from ~2.8 to ~5 ns with K while the
+    # scatter stays ~8.8 ns per GAUSSIAN, so: merge for sub-2^20 budgets
+    # (always wins there) or whenever slots stay under 1.5 P.
+    if k_dup <= (1 << 20) or 2 * k_dup < 3 * p:
         pack_d, base_of_d, rank_d = merge_expand(starts, pack, k_dup,
                                                  interpret=interpret)
     else:
