@@ -404,7 +404,7 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref, used_ref,
 
 def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
                 tcar_ref, accum_ref, done_ref, dstage_ref, busy_ref,
-                pend_ref, sems,
+                pend_ref, tlive_ref, sems,
                 *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
                 num_tiles: int, chunk: int, n_chunks: int,
                 super_chunks: int = SUPER):
@@ -430,6 +430,7 @@ def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
         busy_ref[0] = 0  # tile counter (slot = counter % 2)
         pend_ref[0] = 0
         pend_ref[1] = 0
+        tlive_ref[0] = 1
         tile0 = chunk_meta[0] >> 2
 
         @pl.when(tile0 < num_tiles)
@@ -456,9 +457,12 @@ def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
             tcar_ref[...] = jnp.ones_like(tcar_ref)
             accum_ref[...] = jnp.zeros_like(accum_ref)
             done_ref[...] = jnp.zeros_like(done_ref)
+            tlive_ref[0] = 1
 
-        saturated = jnp.logical_not(is_real) | (
-            jnp.min(done_ref[...]) >= 0.5)
+        # tile-saturation latch in SMEM, maintained by the previous live
+        # sub-chunk — re-reducing the VMEM ``done`` vector per sub-chunk
+        # measured 4.3 ms at 44k chunks on the render kernel
+        saturated = jnp.logical_not(is_real) | (tlive_ref[0] == 0)
 
         @pl.when(jnp.logical_not(saturated))
         def _(j=j, ox=ox, oy=oy, slot=slot):
@@ -517,6 +521,7 @@ def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
             tcar_ref[...] = v["t_new"][None]
             accum_ref[...] = cum_in[-1:, :][None]
             done_ref[...] = v["done_new"][None]
+            tlive_ref[0] = (jnp.min(v["done_new"]) < 0.5).astype(jnp.int32)
 
         @pl.when(saturated)
         def _(j=j):
@@ -793,6 +798,7 @@ def _backward(feat, chunk_meta, ct, dct,
             pltpu.VMEM((2, 1, CTPAD, n_pix), jnp.float32),  # dpack stage x2
             pltpu.SMEM((1,), jnp.int32),                   # tile counter
             pltpu.SMEM((2,), jnp.int32),                   # pending flags
+            pltpu.SMEM((1,), jnp.int32),                   # saturation latch
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
