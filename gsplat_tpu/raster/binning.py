@@ -256,21 +256,25 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     #   v5e at the 1M-cap scale, traces): a scatter-max of markers +
     #   fused owner-scan costs ~8.8 ns per GAUSSIAN (the scatter walks all
     #   P rows); scan_kernel.merge_expand's windowed candidate merge costs
-    #   ~5 ns per SLOT (it never scatters). Sparse-visibility /
-    #   tight-budget configs (slots < ~1.9 P, e.g. the 1M-cap trainer) take
-    #   the merge; huge-duplication configs (renderer: P=100k, 5M slots)
-    #   keep the scatter.
+    #   ~3-7 ns per SLOT (it never scatters). Tight-budget configs
+    #   (slots within a few multiples of P, e.g. the 1M-cap trainer) take
+    #   the merge; high-duplication configs (renderer: P=100k, ~9 P
+    #   slots) keep the scatter — see the crossover fit below.
     starts = offsets[:p]  # ascending (cumsum); >= k_dup rows drop
     d = jnp.arange(k_dup, dtype=jnp.int32)
     # marker bit on top keeps the pack nonzero even for a (0,0) rect corner
     pack = ((1 << (2 * xb + yb)) | (minx_o << (xb + yb))
             | (miny_o << xb) | w_o)
-    # Crossover from two hardware measurements: (P=100k, K=263k) merge
-    # 0.74 ms vs scatter+scan 1.17; (P=1M, K=1.82M) merge 9.26 vs 9.1 —
-    # the merge's per-slot cost grows from ~2.8 to ~5 ns with K while the
-    # scatter stays ~8.8 ns per GAUSSIAN, so: merge for sub-2^20 budgets
-    # (always wins there) or whenever slots stay under 1.5 P.
-    if k_dup <= (1 << 20) or 2 * k_dup < 3 * p:
+    # Crossover from four hardware measurements (v5e traces): merge wins
+    # at (P=100k, K=263k; 0.74 vs 1.17 ms) and at the 1M-cap trainer
+    # (P=1M, K=1.23M; ~0.8 ms better post payload-riding); scatter wins
+    # at (P=1M, K=1.82M; 9.1 vs 9.26) and DECISIVELY at the renderer's
+    # high-duplication shape (P=100k, K=877k; +3.9 ms for merge — 106 vs
+    # 74.9 FPS end-to-end). Merge cost scales with SLOTS (~3-7 ns, rising
+    # with K); scatter with GAUSSIANS (~9-12 ns) plus a small per-slot
+    # scan — so merge needs K within a few multiples of P, and the
+    # affordable multiple shrinks as K grows:
+    if 2 * k_dup < 3 * p or (k_dup < 4 * p and k_dup <= (1 << 20)):
         pack_d, base_of_d, rank_d = merge_expand(starts, pack, k_dup,
                                                  interpret=interpret)
     else:
