@@ -44,11 +44,15 @@ def log(msg):
     print(f"stage: {msg}", file=sys.stderr, flush=True)
 
 
-def probe_k_dup(probe_fn, state_or_params, chunk, floor=1 << 15):
-    """Right-size the duplicate budget: measure actual demand once and
-    rebuild with 30% headroom (chunk-aligned) — no silent truncation."""
-    need = max(int(probe_fn(state_or_params)) * 13 // 10, floor)
-    return -(-need // chunk) * chunk
+def probe_k_dup(need, chunk, headroom=1.12, floor=1 << 15):
+    """Right-size the duplicate budget: measure actual demand (max over
+    every camera the stage will render) and rebuild with modest headroom,
+    chunk-aligned — no silent truncation (the overflow asserts below
+    catch any drift past the budget during the timed windows). Every
+    padded slot feeds the K-proportional gather/sort/expand/kernel
+    stages, so headroom is ~linear step-time waste: 1.3x measured
+    ~7 ms/it at the 1M-cap scale vs 1.12x."""
+    return -(-max(int(need * headroom), floor) // chunk) * chunk
 
 
 def _probe_backend(timeout_s: float = 180.0):
@@ -132,13 +136,14 @@ def main():
     state = gaussians.create_from_points(
         pts, rng.uniform(0, 1, (p_model, 3)).astype(np.float32),
         capacity=p_model, max_sh_degree=sh)
-    probe_fn = jax.jit(lambda st: rasterize(
+    probe_fn = jax.jit(lambda st, c: rasterize(
         st.xyz, st.get_scaling(), st.get_rotation(), st.get_opacity()[:, 0],
-        st.get_features(), cams[0], sh, bg, settings,
+        st.get_features(), c, sh, bg, settings,
         alive=st.alive_mask).num_dup)
+    need = max(int(probe_fn(state, c)) for c in cams)
     settings = dataclasses.replace(
-        settings, k_dup=probe_k_dup(probe_fn, state, settings.chunk))
-    log(f"dup budget {settings.k_dup}")
+        settings, k_dup=probe_k_dup(need, settings.chunk))
+    log(f"dup budget {settings.k_dup} (need {need})")
     adam = optim.init(state.params())
     opt = OptimizationConfig()
     train_step = step_lib.make_train_step(opt, settings, spatial_lr_scale=4.0)
@@ -175,6 +180,7 @@ def main():
     assert max(dups) <= settings.k_dup, (
         f"duplicate budget overflowed during timing: {max(dups)} > "
         f"{settings.k_dup}")
+    log(f"train maxdup {max(dups)} / budget {settings.k_dup}")
     its = statistics.median(win_rates)
 
     # --- render stage: inference path, 1920x1088, 128x32 tiles ---
@@ -244,8 +250,7 @@ def main():
         alive=st.alive_mask).num_dup)
     mneed = max(int(mprobe(mstate, c)) for c in mcams)
     msettings = dataclasses.replace(
-        msettings, k_dup=-(-int(mneed * 13 // 10) // settings.chunk)
-        * settings.chunk)
+        msettings, k_dup=probe_k_dup(mneed, settings.chunk))
     log(f"1M dup budget {msettings.k_dup} (need {mneed})")
     madam = optim.init(mstate.params())
     mstep = step_lib.make_train_step(opt, msettings, spatial_lr_scale=4.0)
@@ -271,6 +276,7 @@ def main():
     assert len(set(m_losses)) == len(m_losses), m_losses
     mdups = [int(x) for x in jax.device_get(m_dups)]
     assert max(mdups) <= msettings.k_dup, (max(mdups), msettings.k_dup)
+    log(f"1M maxdup {max(mdups)} / budget {msettings.k_dup}")
     m_ms_it = statistics.median(m_ms)
     log(f"1M-cap {mw}x{mh}: {m_ms_it:.1f} ms/it")
 
@@ -306,9 +312,10 @@ def main():
         alive=swin_lib.union_params_at(st, jnp.asarray(0.0))["alive"]
     ).num_dup)
     sneed = max(int(sprobe(s_state, c)) for c in scams)
+    # swin probes frame 0 only; rigid deformation drifts per-frame dup
+    # counts during the windows, so keep extra slack here
     ssettings = dataclasses.replace(
-        ssettings, k_dup=-(-int(sneed * 13 // 10) // settings.chunk)
-        * settings.chunk)
+        ssettings, k_dup=probe_k_dup(sneed, settings.chunk, headroom=1.2))
     log(f"swin dup budget {ssettings.k_dup} (need {sneed})")
     sstep = swin_step_lib.make_swin_train_step(opt, ssettings,
                                                spatial_lr_scale=4.0)

@@ -160,6 +160,7 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
     profile_range = getattr(args, "profile_iterations", None) or ()
     viewpoint_stack: list = []
     ema_loss = 0.0
+    dup_peak, dup_tightened = 0, False
     last_metrics = None
     t_start = time.time()
     for iteration in range(first_iter + 1, opt.iterations + 1):
@@ -265,7 +266,15 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
             # adaptive duplicate budget: grow on (near-)overflow at every
             # loss fetch — never train long on silent truncation — and
             # shrink when grossly oversized (every k-proportional stage
-            # speeds up). Recompiles are rare.
+            # speeds up). Recompiles are rare. The loose 1.5x growth is
+            # right for the densification phase (counts grow ~5% per
+            # interval; tight budgets would recompile constantly), but
+            # once densification ends the counts are stable, so tighten
+            # ONCE to 1.12x the observed peak — every padded slot feeds
+            # the K-proportional gather/sort/expand/kernel stages
+            # (~linear step-time waste, ~7 ms/it at the 1M-cap scale for
+            # 1.3x vs 1.12x, measured on v5e).
+            dup_peak = max(dup_peak, num_dup)
             new_k = None
             if num_dup > 0.95 * settings.k_dup:
                 new_k = int(num_dup * 1.5)
@@ -276,6 +285,11 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
             elif (iteration % 1000 == 0 and settings.k_dup > 1 << 16
                   and num_dup < 0.35 * settings.k_dup):
                 new_k = max(int(num_dup * 1.6), 1 << 16)
+            elif (not dup_tightened and dup_peak > 0
+                  and iteration > opt.densify_until_iter + 300
+                  and settings.k_dup > 1.25 * dup_peak):
+                new_k = max(int(dup_peak * 1.12), 1 << 16)
+                dup_tightened = True
             if new_k is not None:
                 new_k = -(-new_k // settings.chunk) * settings.chunk
                 settings = dataclasses.replace(settings, k_dup=new_k)
