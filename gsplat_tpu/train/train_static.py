@@ -43,6 +43,41 @@ from gsplat_tpu.utils import checkpoint as ckpt_lib
 from gsplat_tpu.utils import debug as debug_lib
 
 
+def next_dup_budget(num_dup: int, k_dup: int, iteration: int,
+                    dup_peak: int, dup_tightened: bool,
+                    densify_until_iter: int,
+                    chunk: int) -> tuple[int | None, int, bool]:
+    """Adaptive duplicate-budget policy (pure, unit-tested): returns
+    (new_k_dup or None, updated dup_peak, updated dup_tightened).
+
+    - GROW to 1.5x on (near-)overflow at every loss fetch — never train
+      long on silent truncation. Loose on purpose: during densification
+      counts grow ~5% per interval, and every resize is a ~40 s XLA
+      recompile on real TPUs.
+    - SHRINK to 1.6x when grossly oversized (< 0.35x), checked every
+      1000 iters.
+    - TIGHTEN once to 1.12x the observed peak shortly after
+      densification ends: counts are stable there, and every padded
+      slot feeds the K-proportional gather/sort/expand/kernel stages
+      (~linear step-time waste; 1.3x vs 1.12x measured ~7 ms/it at the
+      1M-cap scale on v5e)."""
+    dup_peak = max(dup_peak, num_dup)
+    new_k = None
+    if num_dup > 0.95 * k_dup:
+        new_k = int(num_dup * 1.5)
+    elif (iteration % 1000 == 0 and k_dup > 1 << 16
+          and num_dup < 0.35 * k_dup):
+        new_k = max(int(num_dup * 1.6), 1 << 16)
+    elif (not dup_tightened and dup_peak > 0
+          and iteration > densify_until_iter + 300
+          and k_dup > 1.25 * dup_peak):
+        new_k = max(int(dup_peak * 1.12), 1 << 16)
+        dup_tightened = True
+    if new_k is not None:
+        new_k = -(-new_k // chunk) * chunk
+    return new_k, dup_peak, dup_tightened
+
+
 def make_settings(pipe: PipelineConfig, cap_max: int) -> RasterizeSettings:
     return RasterizeSettings(
         k_dup=auto_dup_budget(cap_max, pipe),
@@ -263,35 +298,16 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                                      float(metrics.l1), iteration)
                 tb_writer.add_scalar("train_loss_patches/total_loss", loss,
                                      iteration)
-            # adaptive duplicate budget: grow on (near-)overflow at every
-            # loss fetch — never train long on silent truncation — and
-            # shrink when grossly oversized (every k-proportional stage
-            # speeds up). Recompiles are rare. The loose 1.5x growth is
-            # right for the densification phase (counts grow ~5% per
-            # interval; tight budgets would recompile constantly), but
-            # once densification ends the counts are stable, so tighten
-            # ONCE to 1.12x the observed peak — every padded slot feeds
-            # the K-proportional gather/sort/expand/kernel stages
-            # (~linear step-time waste, ~7 ms/it at the 1M-cap scale for
-            # 1.3x vs 1.12x, measured on v5e).
-            dup_peak = max(dup_peak, num_dup)
-            new_k = None
-            if num_dup > 0.95 * settings.k_dup:
-                new_k = int(num_dup * 1.5)
-                if num_dup > settings.k_dup:
-                    print(f"  WARNING: duplicate budget overflowed "
-                          f"({num_dup} > {settings.k_dup}); recent steps "
-                          f"trained on truncated tile lists")
-            elif (iteration % 1000 == 0 and settings.k_dup > 1 << 16
-                  and num_dup < 0.35 * settings.k_dup):
-                new_k = max(int(num_dup * 1.6), 1 << 16)
-            elif (not dup_tightened and dup_peak > 0
-                  and iteration > opt.densify_until_iter + 300
-                  and settings.k_dup > 1.25 * dup_peak):
-                new_k = max(int(dup_peak * 1.12), 1 << 16)
-                dup_tightened = True
+            # adaptive duplicate budget (policy + rationale in
+            # next_dup_budget above)
+            if num_dup > settings.k_dup:
+                print(f"  WARNING: duplicate budget overflowed "
+                      f"({num_dup} > {settings.k_dup}); recent steps "
+                      f"trained on truncated tile lists")
+            new_k, dup_peak, dup_tightened = next_dup_budget(
+                num_dup, settings.k_dup, iteration, dup_peak,
+                dup_tightened, opt.densify_until_iter, settings.chunk)
             if new_k is not None:
-                new_k = -(-new_k // settings.chunk) * settings.chunk
                 settings = dataclasses.replace(settings, k_dup=new_k)
                 print(f"  duplicate budget -> {new_k} (recompiling)")
                 train_step, densify_step, eval_step = build_steps(settings)
