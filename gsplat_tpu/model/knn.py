@@ -3,10 +3,12 @@
 TPU-native replacement for the simple-knn CUDA extension
 (submodules/simple-knn/simple_knn.cu:185-221, spatial.cu:15-26): the
 reference computes, per point, the mean squared distance to its 3 nearest
-neighbors via Morton-sorted boxes. Here we compute it EXACTLY with a
-double-blocked distance matrix: the -2<x,y> cross term is an MXU matmul
-and a top-k running minimum is carried across column blocks with lax.scan.
-O(P^2) flops but one-time at init and MXU-friendly.
+neighbors via Morton-sorted boxes with an exact box-rejection prune. Here
+we match that exactness at every P: a double-blocked distance matrix (the
+-2<x,y> cross term is an MXU matmul, top-k carried across column blocks
+with lax.scan) up to EXACT_KNN_MAX points; beyond that a Morton-window
+candidate pass whose per-point answers are certified exact via AABB
+lower bounds, with the (rare) violators exactly rescanned against all P.
 
 BOTH axes are blocked: a row-blocked-only version materializes an
 [P, block] slab per step — 8 GB at the reference's 1M-cap gate config,
@@ -101,20 +103,23 @@ def _spread_bits(x):
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def _mean_sq_dist_3nn_morton(points, block: int = 2048):
-    """Morton-window APPROXIMATE 3-NN for large P. NOTE: the reference's
-    boxMeanDist (simple_knn.cu:133-182) is an EXACT pruned search — its
-    box-lower-bound test against the reject radius never discards a true
-    top-3 neighbor. This path is genuinely approximate: points are sorted
-    by 30-bit Morton code and each sorted block compares only against its
-    3-block neighborhood (6144 spatially-local candidates), so a true
-    neighbor outside that window is missed and the returned mean-square
-    distance OVERESTIMATES. The error is one-sided (never under), and the
-    value only seeds the log-scale init heuristic (create_from_pcd), where
-    a slight overestimate means slightly larger initial Gaussians.
-    O(P * window) instead of O(P^2) — the exact path devours
-    ~P^2/7.5e9 seconds and the device watchdog kills it around 1M
-    points."""
+def _windowed_3nn(points, block: int = 2048):
+    """Morton-window 3-NN candidate pass + exactness certificate.
+
+    Points are sorted by 30-bit Morton code; each sorted block compares
+    against its 3-block neighborhood (spatially-local candidates). That
+    alone is approximate. To make the large-P path EXACT like the
+    reference's boxMeanDist (simple_knn.cu:133-182, whose box-lower-bound
+    reject test never discards a true top-3 neighbor), this pass also
+    computes each sorted block's AABB and, per point, the minimum
+    squared-distance LOWER BOUND to every block outside its window. A
+    point whose 3rd-best window distance already beats every outside
+    bound is provably exact; the rest are flagged for a full rescan
+    (``mean_sq_dist_3nn`` does that on the host side — KNN runs once at
+    init, so data-dependent violator counts are fine there).
+
+    Returns (mean3 [P], violator [P] bool), both in original point order.
+    """
     p = points.shape[0]
     pad = (-p) % block
     # pad with far-away sentinels: sorted last, never neighbors
@@ -133,6 +138,11 @@ def _mean_sq_dist_3nn_morton(points, block: int = 2048):
     nb = n // block
     blocks = pts_s.reshape(nb, block, 3)
     inf = jnp.float32(jnp.inf)
+    # AABBs over VALID points only: the 3e8 pad sentinels would otherwise
+    # blow up the last box and flag every point as a violator.
+    valid_s = (order < p).reshape(nb, block, 1)
+    box_lo = jnp.min(jnp.where(valid_s, blocks, inf), axis=1)  # [nb, 3]
+    box_hi = jnp.max(jnp.where(valid_s, blocks, -inf), axis=1)
 
     def row_body(_, row_id):
         row_pts = blocks[row_id]
@@ -150,26 +160,108 @@ def _mean_sq_dist_3nn_morton(points, block: int = 2048):
         d2 = jnp.where(win_ids[None, :] == row_ids[:, None], inf,
                        jnp.maximum(d2, 0.0))
         top3 = -lax.top_k(-d2, 3)[0]
-        return None, jnp.mean(top3, axis=1)
+        d3 = top3[:, 2]
+        # Certificate: lower-bound d2 from each point to every out-of-window
+        # box (clamped per-axis distance to the AABB). A true neighbor
+        # closer than d3 can only live in a box whose bound undercuts d3.
+        gap = jnp.maximum(box_lo[None, :, :] - row_pts[:, None, :],
+                          row_pts[:, None, :] - box_hi[None, :, :])
+        bound = jnp.sum(jnp.square(jnp.maximum(gap, 0.0)), axis=-1)
+        blk_idx = jnp.arange(nb, dtype=jnp.int32)
+        in_window = (blk_idx >= start) & (blk_idx < start + 3)
+        bound = jnp.where(in_window[None, :], inf, bound)
+        # f32-rounding safety margin on the reject test.
+        viol = jnp.any(bound <= d3[:, None] * (1.0 + 1e-5), axis=1)
+        return None, (jnp.mean(top3, axis=1), viol)
 
-    _, out_s = lax.scan(row_body, None, jnp.arange(nb, dtype=jnp.int32))
+    _, (out_s, viol_s) = lax.scan(row_body, None,
+                                  jnp.arange(nb, dtype=jnp.int32))
     out = jnp.zeros((n,), jnp.float32).at[order].set(out_s.reshape(-1))
-    return out[:p]
+    viol = jnp.zeros((n,), bool).at[order].set(viol_s.reshape(-1))
+    return out[:p], viol[:p]
 
 
-# Above this many points the exact O(P^2) pass takes minutes of continuous
-# device time. The reference's simple-knn stays exact at every P (its
-# Morton boxes only prune, never drop, true neighbors); beyond this cap we
-# trade that exactness for the bounded-overestimate Morton-window path.
+def _mean_sq_dist_3nn_morton(points, block: int = 2048):
+    """Window pass only (one-sided overestimate) — kept for tests; the
+    public entry point verifies and rescans violators to exactness."""
+    return _windowed_3nn(points, block=block)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "k"))
+def _topk_rows_vs_all(row_pts, row_ids, points, block: int, k: int):
+    """Exact top-k squared distances of ``row_pts`` [V, 3] (global ids
+    ``row_ids`` for self-exclusion) against the full point set. Column
+    blocks stream through lax.scan exactly like _blocked_topk_neg_d2."""
+    p = points.shape[0]
+    pad = (-p) % block
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    sq = jnp.sum(pts * pts, axis=1)
+    num_blocks = pts.shape[0] // block
+    blocks = pts.reshape(num_blocks, block, 3)
+    sq_blocks = sq.reshape(num_blocks, block)
+    blk_ids = jnp.arange(num_blocks, dtype=jnp.int32)
+    inf = jnp.float32(jnp.inf)
+    row_sq = jnp.sum(row_pts * row_pts, axis=1)
+    v = row_pts.shape[0]
+
+    def col_body(carry, col_in):
+        best_d = carry
+        col_pts, col_sq, col_id = col_in
+        cross = jnp.dot(row_pts, col_pts.T, precision="highest")
+        d2 = row_sq[:, None] + col_sq[None, :] - 2.0 * cross
+        col_ids = col_id * block + jnp.arange(block, dtype=jnp.int32)
+        invalid = ((col_ids[None, :] == row_ids[:, None])
+                   | (col_ids >= p)[None, :])
+        d2 = jnp.where(invalid, inf, jnp.maximum(d2, 0.0))
+        blk_d = -lax.top_k(-d2, k)[0]
+        merged = jnp.concatenate([best_d, blk_d], axis=1)
+        return -lax.top_k(-merged, k)[0], None
+
+    init = jnp.full((v, k), inf)
+    best_d, _ = lax.scan(col_body, init, (blocks, sq_blocks, blk_ids))
+    return best_d
+
+
+# Above this many points the dense O(P^2) pass takes minutes of continuous
+# device time; switch to the Morton-window + certificate + rescan path
+# (also exact — see _windowed_3nn / _mean_sq_dist_3nn_large).
 EXACT_KNN_MAX = 1 << 18
+
+
+def _mean_sq_dist_3nn_large(points: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Exact 3-NN mean-square distance at large P: Morton-window candidate
+    pass, AABB lower-bound exactness certificate, then a full O(V*P)
+    rescan of the V certificate violators (matching the reference's
+    pruned-but-exact boxMeanDist, simple_knn.cu:133-182). Host-side
+    data-dependent control flow is fine here: this runs once at init."""
+    import numpy as np
+
+    mean3, viol = _windowed_3nn(points, block=block)
+    viol_idx = np.nonzero(np.asarray(viol))[0]
+    if viol_idx.size == 0:
+        return mean3
+    # Pad V to a power of two (bounds distinct compiles) and stream rescan
+    # rows in chunks (bounds the [rows, block] slab memory).
+    v_pad = max(256, 1 << (int(viol_idx.size - 1)).bit_length())
+    chunk = min(v_pad, 4096)
+    idx = np.zeros((v_pad,), np.int32)
+    idx[: viol_idx.size] = viol_idx
+    fixed_parts = []
+    for s in range(0, v_pad, chunk):
+        idx_j = jnp.asarray(idx[s: s + chunk])
+        top3 = _topk_rows_vs_all(points[idx_j], idx_j, points,
+                                 block=block, k=3)
+        fixed_parts.append(jnp.mean(top3, axis=1))
+    fixed = jnp.concatenate(fixed_parts)[: viol_idx.size]
+    return mean3.at[jnp.asarray(viol_idx)].set(fixed)
 
 
 def mean_sq_dist_3nn(points: jnp.ndarray, block: int = 2048) -> jnp.ndarray:
     """points [P, 3] -> [P] mean of squared distances to the 3 nearest
-    neighbors (excluding self). Exact (double-blocked MXU distance matrix)
-    up to EXACT_KNN_MAX points; beyond that, Morton-window approximate
-    (one-sided overestimate; the reference is exact at every P — see
-    _mean_sq_dist_3nn_morton)."""
+    neighbors (excluding self). EXACT at every P, like the reference's
+    simple-knn: a double-blocked MXU distance matrix up to EXACT_KNN_MAX
+    points; beyond that, a Morton-window pass whose answers are certified
+    by AABB lower bounds, with certificate violators exactly rescanned."""
     if points.shape[0] <= EXACT_KNN_MAX:
         return _mean_sq_dist_3nn_exact(points, block=block)
-    return _mean_sq_dist_3nn_morton(points, block=block)
+    return _mean_sq_dist_3nn_large(points, block=block)

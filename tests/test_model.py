@@ -36,6 +36,34 @@ def test_knn_morton_window_close_to_exact():
     assert np.all(got >= exact - 1e-6 * np.abs(exact))
 
 
+def test_knn_large_path_exact_on_adversarial_cloud():
+    """The large-P path must be EXACT like the reference's boxMeanDist
+    (simple_knn.cu:133-182), even when Morton locality is defeated: pairs
+    straddling the x=0.5 quantization boundary sort ~half the array apart,
+    so the 3-block window misses the twin. The AABB certificate must flag
+    every such row and the rescan must recover the exact answer."""
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 1, size=(4096, 3)).astype(np.float32)
+    yz = rng.uniform(0.1, 0.9, size=(64, 2)).astype(np.float32)
+    left = np.stack([np.full(64, 0.5 - 1e-4, np.float32), yz[:, 0],
+                     yz[:, 1]], 1)
+    right = np.stack([np.full(64, 0.5 + 1e-4, np.float32), yz[:, 0],
+                      yz[:, 1]], 1)
+    pts = np.concatenate([base, left, right])
+    j = jnp.asarray(pts)
+    approx, viol = knn._windowed_3nn(j, block=64)
+    approx, viol = np.asarray(approx), np.asarray(viol)
+    exact = np.asarray(knn._mean_sq_dist_3nn_exact(j, block=64))
+    # the adversarial pairs genuinely defeat the window pass...
+    assert np.any(approx > exact * (1 + 1e-3))
+    # ...every defeated row is flagged by the certificate...
+    bad = approx > exact * (1 + 1e-5) + 1e-12
+    assert np.all(viol[bad])
+    # ...and the rescan recovers exactness everywhere
+    got = np.asarray(knn._mean_sq_dist_3nn_large(j, block=64))
+    np.testing.assert_allclose(got, exact, rtol=1e-4)
+
+
 def test_adam_matches_torch():
     import torch
 
