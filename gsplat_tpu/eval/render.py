@@ -44,7 +44,8 @@ def find_latest_iteration(model_path: str) -> int:
 
 
 def render_set(model_path, split, iteration, cameras, state, settings, bg,
-               pipe: PipelineConfig | None = None, n_ps: int = 1):
+               pipe: PipelineConfig | None = None, n_ps: int = 1,
+               n_ts: int = 1):
     pipe = pipe or PipelineConfig()
     renders_dir = os.path.join(model_path, split, f"ours_{iteration}",
                                "renders")
@@ -74,6 +75,23 @@ def render_set(model_path, split, iteration, cameras, state, settings, bg,
                             shard["opa"], shard["shs"], shard["alive"],
                             camera, jnp.asarray(bg, jnp.float32))
             return jnp.clip(img, 0.0, 1.0)
+    elif n_ts > 1:
+        # Image-band sharded rendering (parallel/tileshard.py): params
+        # replicated, each device renders a horizontal band — no
+        # compositing collective, right for very large frames
+        from gsplat_tpu.parallel.mesh import make_mesh
+        from gsplat_tpu.parallel.tileshard import make_tileshard_render
+
+        mesh = make_mesh(n_ts, axis_name="sp")
+        ts_render = make_tileshard_render(mesh, settings,
+                                          state.max_sh_degree, axis="sp")
+        args = (state.xyz, state.get_scaling(), state.get_rotation(),
+                state.get_opacity()[:, 0], state.get_features(),
+                state.alive_mask)
+
+        def render_one(camera):
+            img = ts_render(*args, camera, jnp.asarray(bg, jnp.float32))
+            return jnp.clip(img, 0.0, 1.0)
     else:
         @jax.jit
         def render_one(camera):
@@ -94,7 +112,7 @@ def render_set(model_path, split, iteration, cameras, state, settings, bg,
 
 def render_sets(model_cfg: ModelConfig, pipe: PipelineConfig,
                 iteration: int = -1, skip_train=False, skip_test=False,
-                n_ps: int = 1):
+                n_ps: int = 1, n_ts: int = 1):
     scene = Scene(model_cfg.source_path, model_cfg.model_path,
                   images=model_cfg.images, eval_split=model_cfg.eval,
                   resolution=model_cfg.resolution,
@@ -113,10 +131,12 @@ def render_sets(model_cfg: ModelConfig, pipe: PipelineConfig,
                      else [0.0, 0.0, 0.0])
     if not skip_train:
         render_set(model_cfg.model_path, "train", iteration,
-                   scene.train_cameras, state, settings, bg, pipe, n_ps)
+                   scene.train_cameras, state, settings, bg, pipe, n_ps,
+                   n_ts)
     if not skip_test:
         render_set(model_cfg.model_path, "test", iteration,
-                   scene.test_cameras, state, settings, bg, pipe, n_ps)
+                   scene.test_cameras, state, settings, bg, pipe, n_ps,
+                   n_ts)
 
 
 def main(argv=None):
@@ -131,13 +151,21 @@ def main(argv=None):
                         help="Gaussian-sharded distributed rendering over "
                              "N devices (depth-slab partition + ordered "
                              "compositing)")
+    parser.add_argument("--tileshard", type=int, default=1,
+                        help="image-band sharded rendering over N devices "
+                             "(each device renders H/N rows against the "
+                             "full model; no compositing collective)")
     args = load_combined_args(parser) if argv is None else \
         parser.parse_args(argv)
     model_cfg = extract_config(args, ModelConfig)
     pipe = extract_config(args, PipelineConfig)
     print("Rendering " + model_cfg.model_path)
+    assert getattr(args, "pshard", 1) == 1 or \
+        getattr(args, "tileshard", 1) == 1, \
+        "--pshard and --tileshard are mutually exclusive"
     render_sets(model_cfg, pipe, args.iteration, args.skip_train,
-                args.skip_test, n_ps=getattr(args, "pshard", 1))
+                args.skip_test, n_ps=getattr(args, "pshard", 1),
+                n_ts=getattr(args, "tileshard", 1))
 
 
 if __name__ == "__main__":

@@ -204,12 +204,26 @@ def rasterize(
     means3d, scales, quats, opacities, shs, camera: CameraParams,
     sh_degree: int, bg, settings: RasterizeSettings, *,
     colors_precomp=None, cov3d_precomp=None, scale_modifier: float = 1.0,
-    alive=None,
+    alive=None, band_h: int | None = None, band_y0=0.0,
 ) -> RasterizeOutput:
-    """Render Gaussians through the full differentiable pipeline."""
+    """Render Gaussians through the full differentiable pipeline.
+
+    ``band_h``/``band_y0`` render only the horizontal image band of
+    ``band_h`` rows starting at pixel row ``band_y0`` (image-space
+    parallelism — parallel/tileshard.py shards a frame's rows over
+    devices). Projection/preprocess is UNCHANGED (full-image EWA/clamp
+    semantics — a cropped camera would perturb the 1.3*tan_fov Jacobian
+    clamp of computeCov2D, forward.cu:86-93); the band is a pure
+    pixel-space y-shift before binning, so every per-pixel value matches
+    the full render's rows to fp rounding. ``band_h`` must be static;
+    ``band_y0`` may be traced (the same compiled program renders any
+    band). Per-Gaussian outputs (radii, is_used, num_dup) are
+    band-local.
+    """
     s = settings
+    height = camera.height if band_h is None else band_h
     grid_x = -(-camera.width // s.tile_x)
-    grid_y = -(-camera.height // s.tile_y)
+    grid_y = -(-height // s.tile_y)
     num_tiles = grid_x * grid_y
     n_pix = s.tile_x * s.tile_y
 
@@ -217,6 +231,10 @@ def rasterize(
         means3d, scales, quats, opacities, shs, camera, sh_degree,
         colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
         scale_modifier=scale_modifier, alive=alive)
+    if band_h is not None:
+        y0 = jnp.asarray(band_y0, proc.xy.dtype)
+        proc = proc._replace(
+            xy=proc.xy - jnp.stack([jnp.zeros_like(y0), y0])[None, :])
 
     # Binning is integer bookkeeping — no gradients through the sort,
     # EXCEPT the feature table riding it as differentiable payloads.
@@ -237,7 +255,7 @@ def rasterize(
         img = img_t.reshape(grid_y, grid_x, ch, s.tile_y, s.tile_x)
         img = img.transpose(2, 0, 3, 1, 4)
         img = img.reshape(ch, grid_y * s.tile_y, grid_x * s.tile_x)
-        return img[:, : camera.height, : camera.width]
+        return img[:, : height, : camera.width]
 
     if s.inference:
         c_img = tile_kernel.render_forward(
@@ -248,7 +266,7 @@ def rasterize(
         # an HWC device array puts the 3-channel axis on lanes, which the
         # TPU pads to 128 — 42x the bytes for every downstream op.
         image = assemble(c_img, 3)
-        final_t = jnp.zeros((camera.height, camera.width), jnp.float32)
+        final_t = jnp.zeros((height, camera.width), jnp.float32)
         return RasterizeOutput(image=image, radii=binn.radius,
                                is_used=binn.used, num_dup=binn.num_dup,
                                final_t=final_t, used_tile=binn.used)

@@ -175,3 +175,31 @@ def test_render_cli_pshard(blender_scene, tmp_path):
                  "--skip_train", "--dup_budget", "4096", "--pshard", "8"])
     got = np.asarray(Image.open(single)).astype(np.float32)
     assert np.abs(got - ref).max() <= 2.0  # 8-bit, slab-compositing tol
+
+
+def test_render_cli_tileshard(blender_scene, tmp_path):
+    """Distributed rendering CLI: --tileshard N renders each frame as 8
+    disjoint image bands on the virtual mesh and matches the
+    single-device render to fp/8-bit rounding (no compositing
+    deviation class — bands are disjoint pixels)."""
+    out = str(tmp_path / "model_ts")
+    from gsplat_tpu.eval.render import main as render_main
+    from gsplat_tpu.train.train_static import main as train_main
+
+    train_main([
+        "-s", str(blender_scene), "-m", out,
+        "--iterations", "4", "--cap_max", "64", "--init_pts", "32",
+        "--test_iterations", "-1", "--save_iterations", "4",
+        "--densify_until_iter", "0", "--dup_budget", "4096",
+    ])
+    render_main(["-s", str(blender_scene), "-m", out, "--iteration", "4",
+                 "--skip_train", "--dup_budget", "4096"])
+    single = os.path.join(out, "test", "ours_4", "renders", "00000.png")
+    from PIL import Image
+
+    ref = np.asarray(Image.open(single)).astype(np.float32)
+    render_main(["-s", str(blender_scene), "-m", out, "--iteration", "4",
+                 "--skip_train", "--dup_budget", "4096",
+                 "--tileshard", "8"])
+    got = np.asarray(Image.open(single)).astype(np.float32)
+    assert np.abs(got - ref).max() <= 1.0  # 8-bit rounding only

@@ -362,3 +362,76 @@ def test_pshard_dp_2d_distinct_cameras():
                                rtol=1e-5)
     for k in p_2d:
         assert np.isfinite(np.asarray(p_2d[k])).all(), k
+
+
+def _cloud(p, seed, depth_range=(1.0, 8.0)):
+    rng = np.random.default_rng(seed)
+    from gsplat_tpu.core.quaternion import normalize as qnorm
+
+    means = rng.uniform(-1.0, 1.0, (p, 3)).astype(np.float32)
+    means[:, 2] = rng.uniform(*depth_range, p)
+    scales = np.exp(rng.uniform(-2.5, -1.5, (p, 3))).astype(np.float32)
+    quats = qnorm(jnp.asarray(rng.normal(size=(p, 4)).astype(np.float32)))
+    opa = jax.nn.sigmoid(jnp.asarray(rng.uniform(0, 3, p).astype(np.float32)))
+    shs = jnp.asarray(
+        np.concatenate([rng.uniform(-0.5, 1.5, (p, 1, 3)),
+                        0.1 * rng.normal(size=(p, 3, 3))],
+                       axis=1).astype(np.float32))
+    return jnp.asarray(means), jnp.asarray(scales), quats, opa, shs
+
+
+def test_band_rasterize_matches_full_rows():
+    """rasterize(band_h, band_y0) must reproduce exactly those rows of the
+    full-frame render (pixel-space y-shift; preprocess untouched)."""
+    from gsplat_tpu.core.camera import make_camera
+
+    p = 96
+    means, scales, quats, opa, shs = _cloud(p, seed=11)
+    alive = jnp.ones((p,), bool)
+    cam = _cams(1)[0]
+    bg = jnp.asarray([0.25, 0.1, 0.4])
+
+    full = rasterize(means, scales, quats, opa, shs, cam, SH, bg, SETTINGS,
+                     alive=alive).image  # [32, 32, 3] hwc
+    for y0 in (0, 16):
+        band = rasterize(means, scales, quats, opa, shs, cam, SH, bg,
+                         SETTINGS, alive=alive, band_h=16,
+                         band_y0=float(y0)).image
+        np.testing.assert_allclose(np.asarray(band),
+                                   np.asarray(full[y0:y0 + 16]),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_tileshard_render_matches_single_device():
+    """Image-band sharded rendering (replicated params, one band per
+    device, no compositing collective) must reproduce the single-device
+    frame to fp rounding."""
+    from gsplat_tpu.core.camera import make_camera
+    from gsplat_tpu.parallel.tileshard import (make_tileshard_render,
+                                               tileshard_num_dup)
+
+    n_dev = jax.device_count()
+    mesh = make_mesh(n_dev, axis_name="sp")
+    p = 128
+    means, scales, quats, opa, shs = _cloud(p, seed=12)
+    alive = jnp.ones((p,), bool)
+
+    w, h = 32, 128  # 8 devices x one 16-row tile band each
+    th = 0.0
+    Rcw = np.eye(3)
+    t = np.array([0.0, 0.0, 3.0])
+    cam = make_camera(Rcw, t, 0.9, 0.9, w, h)
+    bg = jnp.asarray([0.3, 0.2, 0.1])
+
+    ref = rasterize(means, scales, quats, opa, shs, cam, SH, bg, SETTINGS,
+                    alive=alive).image
+
+    probe = tileshard_num_dup(mesh, SETTINGS, SH, axis="sp")
+    per_band = int(probe(means, scales, quats, opa, shs, alive, cam, bg))
+    assert per_band <= SETTINGS.k_dup
+
+    render = make_tileshard_render(mesh, SETTINGS, SH, axis="sp")
+    img = render(means, scales, quats, opa, shs, alive, cam, bg)
+    assert img.shape == (h, w, 3)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
