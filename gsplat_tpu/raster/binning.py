@@ -256,25 +256,23 @@ def bin_gaussians(proc: Preprocessed, *, tile_x: int, tile_y: int,
     #   v5e at the 1M-cap scale, traces): a scatter-max of markers +
     #   fused owner-scan costs ~8.8 ns per GAUSSIAN (the scatter walks all
     #   P rows); scan_kernel.merge_expand's windowed candidate merge costs
-    #   ~3-7 ns per SLOT (it never scatters). Tight-budget configs
-    #   (slots within a few multiples of P, e.g. the 1M-cap trainer) take
-    #   the merge; high-duplication configs (renderer: P=100k, ~9 P
-    #   slots) keep the scatter — see the crossover fit below.
+    #   ~2.55 ns per SLOT (it never scatters). Tight-budget configs
+    #   (slots within ~3.7x of P, e.g. the 1M-cap trainer) take the
+    #   merge; high-duplication configs (renderer: P=100k, ~9 P slots)
+    #   keep the scatter — see the crossover fit below.
     starts = offsets[:p]  # ascending (cumsum); >= k_dup rows drop
     d = jnp.arange(k_dup, dtype=jnp.int32)
     # marker bit on top keeps the pack nonzero even for a (0,0) rect corner
     pack = ((1 << (2 * xb + yb)) | (minx_o << (xb + yb))
             | (miny_o << xb) | w_o)
-    # Crossover from four hardware measurements (v5e traces): merge wins
-    # at (P=100k, K=263k; 0.74 vs 1.17 ms) and at the 1M-cap trainer
-    # (P=1M, K=1.23M; ~0.8 ms better post payload-riding); scatter wins
-    # at (P=1M, K=1.82M; 9.1 vs 9.26) and DECISIVELY at the renderer's
-    # high-duplication shape (P=100k, K=877k; +3.9 ms for merge — 106 vs
-    # 74.9 FPS end-to-end). Merge cost scales with SLOTS (~3-7 ns, rising
-    # with K); scatter with GAUSSIANS (~9-12 ns) plus a small per-slot
-    # scan — so merge needs K within a few multiples of P, and the
-    # affordable multiple shrinks as K grows:
-    if 2 * k_dup < 3 * p or (k_dup < 4 * p and k_dup <= (1 << 20)):
+    # Crossover from four hardware measurements (v5e traces, after the
+    # relayout-free T(1,128) merge kernel): merge is LINEAR at ~2.55
+    # ns/slot (0.67 ms @ K=263k ... 4.61 @ 1.82M); scatter+expand_scan is
+    # ~8.8 ns/GAUSSIAN + ~0.2 ns/slot (0.94 @ P=100k/K=263k, 9.2 @
+    # P=1M/K=1.82M). Equal cost at K ~= 3.74 P; the renderer's
+    # high-duplication shape (P=100k, K=877k = 8.8 P: 2.15 vs 1.06)
+    # stays on the scatter, everything tighter takes the merge:
+    if 2 * k_dup < 7 * p:
         pack_d, base_of_d, rank_d = merge_expand(starts, pack, k_dup,
                                                  interpret=interpret)
     else:

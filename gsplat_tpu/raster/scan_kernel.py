@@ -15,9 +15,9 @@ Three families:
   index against a windowed slice of the ascending range starts (the
   windows come from a tiny host-side searchsorted) and extracts the
   owner's values with one byte-split bf16 matmul. Cost scales with the
-  SLOT count (~5 ns/slot measured) instead of the GAUSSIAN count
-  (~8.8 ns/row for the scatter at P=1M), so binning picks whichever is
-  statically cheaper for the config.
+  SLOT count (~2.6 ns/slot measured at K=1.45M) instead of the GAUSSIAN
+  count (~8.8 ns/row for the scatter at P=1M), so binning picks
+  whichever is statically cheaper for the config.
 
 Mosaic pitfall encountered here on v5e (workaround in ``_merge_kernel``,
 kept because the miscompile is SILENT): `x | (y << s)` DROPS the shifted
@@ -250,7 +250,10 @@ def expand_scan(marks, base_in, interpret: bool = False):
     return [o.reshape(-1)[:k] for o in outs]
 
 
-_MB = 1024      # merge_expand: slots resolved per grid step
+_MB = 512       # merge_expand: slots resolved per grid step.  Swept on
+                # v5e at K=1.45M: 256 -> 4.04 ms, 512 -> 3.77, 1024 -> 5.18
+                # (smaller blocks shrink the (mb, 3*mb) one-hot quadratically
+                # but pay more searchsorted/window bookkeeping per slot).
 _MW = 3         # candidate windows of _MB rows fetched per step
 
 
@@ -258,21 +261,24 @@ def _merge_kernel(win_ref, s0, s1, s2, p0, p1, p2,
                   pack_o, base_o, rank_o):
     """Owner resolution for one block of _MB slots (see merge_expand).
 
-    Candidates (3 * _MB ascending starts, on LANES) vs slots (_MB, on
-    SUBLANES): the owner one-hot of slot d is the telescope
+    Operands arrive as (1, 1, _MB) blocks — already on LANES with a
+    T(1,128) tiling, so the (1, _MB) candidate rows below are free
+    reshapes (the previous (rows, 128) layout paid a sublanes->lanes
+    relayout per operand that dominated the kernel: 8.0 -> 2.9 ms at
+    K=1.45M on v5e). The owner one-hot of slot d is the telescope
     (starts[g] <= d) & (starts[g+1] > d) — exactly one lane per live
     slot. Owner values come back through ONE batched matmul contracting
-    the candidate lanes: the rhs stacks byte-splits of (pack, start,
+    the candidate lanes — transposed so the SLOT axis stays on lanes in
+    the (24, _MB) output: the lhs stacks byte-splits of (pack, start,
     lane index), all EXACT in bf16 (0/1 one-hots, 8-bit values), so each
-    f32 output element is exact; 16-bit halves recompose in int32."""
+    f32 output element is exact; bytes recompose in int32."""
     k = pl.program_id(0)
     wb = win_ref[k]
     g_lanes = _MW * _MB
     imax = 2147483647
 
-    # candidate rows -> one (1, _MB) lane row (sublanes->lanes relayout)
     def row(ref):
-        return ref[...].reshape(1, _MB)
+        return ref[...].reshape(1, _MB)  # (1, 1, _MB) -> (1, _MB), free
 
     starts_row = jnp.concatenate([row(s0), row(s1), row(s2)], axis=1)
     pack_row = jnp.concatenate([row(p0), row(p1), row(p2)], axis=1)
@@ -284,13 +290,13 @@ def _merge_kernel(win_ref, s0, s1, s2, p0, p1, p2,
     onehot = ((starts_row <= d_col)
               & (s_next > d_col)).astype(jnp.bfloat16)  # (_MB, 3*_MB)
 
-    # rhs logical rows: pack bytes 0-3, start bytes 0-3, lane-index bytes
+    # lhs logical rows: pack bytes 0-3, start bytes 0-3, lane-index bytes
     # 0-1, built with sublane broadcasts + per-element shifts and spread
     # onto even (2,1)-packed bf16 sublane pairs (logical row j at physical
     # row (j//2)*4 + (j%2)). The spread + broadcast construction dates to
     # chasing a corruption that turned out to be the compose() or-shift
     # miscompile below; both are kept as belt-and-braces — they cost
-    # nothing (rhs width stays under one MXU tile) and this Mosaic
+    # nothing (lhs height stays under one MXU tile) and this Mosaic
     # version has shown several silent lowering bugs in this kernel.
     ridx = lax.broadcasted_iota(jnp.int32, (24, g_lanes), 0)
     jj = (ridx // 4) * 2 + (ridx % 2)  # logical byte-slot of this row
@@ -299,25 +305,26 @@ def _merge_kernel(win_ref, s0, s1, s2, p0, p1, p2,
     byte = jnp.where(jj < 4, jj,
                      jnp.where(jj < 8, jj - 4, jj - 8))
     rhs = ((val >> (byte * 8)) & 255).astype(jnp.bfloat16)  # (24, 3*_MB)
-    picked = lax.dot_general(onehot, rhs, (((1,), (1,)), ((), ())),
+    # transposed contraction: output (24, _MB) — slots stay on LANES
+    picked = lax.dot_general(rhs, onehot, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    pi = picked.astype(jnp.int32)  # (_MB, 24) — each element exact
+    pi = picked.astype(jnp.int32)  # (24, _MB) — each element exact
 
     def compose(j, nbytes):
         # Multiply-add, NOT or-with-shift: this Mosaic version silently
-        # drops `x << s` terms for s >= 16 when x is a lane-slice of the
+        # drops `x << s` terms for s >= 16 when x is a slice of the
         # matmul output (verified: the slices and standalone shifts are
         # both exact; the or-shift combination loses the high bytes).
         # Bytes occupy disjoint ranges, so + == | exactly.
-        def c(b):  # logical byte-slot -> physical rhs row (see above)
+        def c(b):  # logical byte-slot -> physical lhs row (see above)
             jb = j + b
             return (jb // 2) * 4 + (jb % 2)
-        acc = pi[:, c(0)]
+        acc = pi[c(0):c(0) + 1, :]
         for b in range(1, nbytes):
-            acc = acc + pi[:, c(b)] * (1 << (8 * b))
+            acc = acc + pi[c(b):c(b) + 1, :] * (1 << (8 * b))
         return acc
 
-    out_shape = (_MB // _LANES, _LANES)
+    out_shape = (1, 1, _MB)
     pack_o[...] = compose(0, 4).reshape(out_shape)
     base_o[...] = compose(4, 4).reshape(out_shape)
     # rank = global owner row + 1; dead slots (no owner) read 0+wb*_MB+1,
@@ -357,17 +364,18 @@ def merge_expand(starts, pack, k: int, interpret: bool = False):
     lo = jnp.searchsorted(sp, d0s, side="right").astype(jnp.int32) - 1
     win = jnp.clip(lo // _MB, 0, p_pad // _MB - _MW)
 
-    rows = _MB // _LANES
-    sp2 = sp.reshape(-1, _LANES)
-    pp2 = pp.reshape(-1, _LANES)
+    # (blocks, 1, _MB): the last two block dims equal the array dims, so
+    # Mosaic tiles T(1,128) — candidates land on LANES with no relayout
+    sp2 = sp.reshape(-1, 1, _MB)
+    pp2 = pp.reshape(-1, 1, _MB)
 
     def wspec(off):
-        # w[i] is in _MB-element units == (rows, _LANES)-block units
-        return pl.BlockSpec((rows, _LANES),
-                            lambda i, w, off=off: (w[i] + off, 0),
+        # w[i] is in _MB-element units == (1, 1, _MB)-block units
+        return pl.BlockSpec((1, 1, _MB),
+                            lambda i, w, off=off: (w[i] + off, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    out_spec = pl.BlockSpec((rows, _LANES), lambda i, w: (i, 0),
+    out_spec = pl.BlockSpec((1, 1, _MB), lambda i, w: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -378,8 +386,7 @@ def merge_expand(starts, pack, k: int, interpret: bool = False):
     outs = pl.pallas_call(
         _merge_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((k_pad // _LANES, _LANES),
-                                        jnp.int32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n_sub, 1, _MB), jnp.int32)] * 3,
         interpret=interpret,
     )(win, sp2, sp2, sp2, pp2, pp2, pp2)
     return [o.reshape(-1)[:k] for o in outs]

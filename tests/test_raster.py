@@ -312,7 +312,7 @@ def test_binning_merge_branch_matches_scatter_branch():
     composite the SAME image: per-tile duplicate lists are identical, only
     trailing sentinel chunks differ."""
     # tiny splats (~1 tile each) so the tight budget lands in the merge
-    # regime: 8 * k_dup < 15 * P
+    # regime: 2 * k_dup < 7 * P
     p = 8000
     rng = np.random.default_rng(5)
     means = rng.uniform(-1.2, 1.2, size=(p, 3)).astype(np.float32)
@@ -330,7 +330,7 @@ def test_binning_merge_branch_matches_scatter_branch():
     generous = run_fast(params, cam)          # scatter branch
     need = int(generous.num_dup)
     k_tight = -(-need // SETTINGS.chunk) * SETTINGS.chunk
-    assert 8 * k_tight < 15 * p, (need, k_tight)  # merge regime
+    assert 2 * k_tight < 7 * p, (need, k_tight)  # merge regime
     import dataclasses
     tight_settings = dataclasses.replace(SETTINGS, k_dup=k_tight)
     means, scales, quats, opa, shs = params
