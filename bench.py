@@ -86,6 +86,59 @@ def _probe_backend(timeout_s: float = 180.0):
         sys.exit(1)
 
 
+def hw_parity_stage(on_cpu: bool):
+    """Hardware-vs-oracle parity gate (round-3 verdict weak #2): replay the
+    committed interpret-mode golden computation (scripts/
+    gen_hw_parity_golden.py) through the REAL Mosaic-compiled kernels and
+    gate image PSNR, train-step loss, and param-delta agreement. Returns a
+    dict merged into the bench JSON; raises on regression so a Mosaic
+    miscompile fails the whole bench, not just quality someday.
+
+    On CPU the replay IS the golden computation (identity check only)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import gen_hw_parity_golden as gold
+
+    golden = np.load(gold.OUT)
+    out = gold.compute(interpret=on_cpu)
+
+    def psnr(a, b):
+        mse = float(np.mean((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2))
+        return min(-10.0 * np.log10(mse + 1e-30), 99.0)
+
+    p_train = psnr(out["train_img"], golden["train_img"])
+    p_infer = psnr(out["infer_img"], golden["infer_img"])
+    loss_rel = abs(float(out["loss"]) - float(golden["loss"])) / max(
+        abs(float(golden["loss"])), 1e-9)
+    dup_rel = abs(int(out["num_dup"]) - int(golden["num_dup"])) / max(
+        int(golden["num_dup"]), 1)
+
+    def rel_l2(k):
+        d = out[k].astype(np.float64) - golden[k].astype(np.float64)
+        return float(np.linalg.norm(d) /
+                     (np.linalg.norm(golden[k].astype(np.float64)) + 1e-12))
+
+    grad_rel = max(rel_l2("dxyz"), rel_l2("dopacity"), rel_l2("dscaling"))
+    log(f"hw parity: train {p_train:.1f} dB, infer {p_infer:.1f} dB, "
+        f"loss_rel {loss_rel:.2e}, dup_rel {dup_rel:.2e}, "
+        f"param_delta_rel {grad_rel:.2e}")
+    # Train path is f32 with hi/lo bf16-split dots (should be very close);
+    # inference streams features as bf16 (half-ULP-of-8-bit class).
+    assert p_train >= 55.0, f"hw train-path PSNR {p_train:.2f} < 55 dB"
+    assert p_infer >= 45.0, f"hw inference-path PSNR {p_infer:.2f} < 45 dB"
+    assert loss_rel <= 5e-3, f"hw train-step loss off by {loss_rel:.2e}"
+    assert dup_rel <= 2e-3, f"hw num_dup off by {dup_rel:.2e}"
+    assert grad_rel <= 5e-2, f"hw param delta off by {grad_rel:.2e}"
+    return {"hw_parity_psnr": round(float(min(p_train, p_infer)), 1),
+            "hw_parity_train_psnr": round(float(p_train), 1),
+            "hw_parity_infer_psnr": round(float(p_infer), 1),
+            "hw_parity_loss_rel": float(f"{loss_rel:.2e}"),
+            "hw_parity_param_delta_rel": float(f"{grad_rel:.2e}")}
+
+
 def main():
     _probe_backend()
     import jax
@@ -99,6 +152,9 @@ def main():
     from __graft_entry__ import _make_scene, _orbit_cameras
 
     on_cpu = jax.default_backend() == "cpu"
+    # hardware-vs-oracle parity gate FIRST: if the Mosaic kernels drifted
+    # from the interpret-mode oracle, fail before reporting any speed
+    hw_parity = hw_parity_stage(on_cpu)
     # CPU fallback keeps the bench runnable anywhere but tiny.
     p_gt, p_model, w, h, wit = ((500, 1000, 128, 128, 2) if on_cpu
                                 else (20_000, 100_000, 800, 800, 20))
@@ -366,7 +422,8 @@ def main():
                    "swin_ms_per_iter": round(s_ms_it, 1),
                    "swin_cap": s_cap,
                    "swin_image": f"{s_w}x{s_h}",
-                   "swin_windows_ms": [round(x, 1) for x in s_ms]},
+                   "swin_windows_ms": [round(x, 1) for x in s_ms],
+                   **hw_parity},
     }))
 
 
