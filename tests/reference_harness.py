@@ -1,0 +1,418 @@
+"""Harness to execute the REFERENCE's own training loop on CPU with its two
+CUDA extensions shimmed to this repo's JAX pipeline (round-3 verdict ask #1:
+trainer-loop-level exec-parity).
+
+What this provides:
+
+- ``install_cuda_to_cpu()``: a ``TorchFunctionMode`` + ``torch.cuda`` patch
+  set that transparently rewrites every ``device="cuda"`` / ``.cuda()`` /
+  ``.to("cuda")`` in the reference code to CPU (the reference hard-codes
+  cuda everywhere, e.g. gaussian_model_static.py:160-189,
+  cameras.py:63-70, train_static.py:51-85).
+- ``install_extension_shims(cap, k_dup, tile)``: fake
+  ``diff_gaussian_rasterization`` and ``simple_knn`` modules in
+  ``sys.modules`` whose tensor-level contracts match the reference's
+  (diff_gaussian_rasterization/__init__.py:157-226, spatial.cu:15-26) but
+  whose compute is this repo's differentiable rasterizer
+  (gsplat_tpu.raster.rasterize, CPU interpret mode), KNN
+  (gsplat_tpu.model.knn) and relocation math (gsplat_tpu.model.mcmc).
+
+With both installed, ``/root/reference/train_static.py``'s ``training()``
+runs unmodified (up to two documented bit-rot no-op patches, SURVEY.md §7
+quirks) — every trainer-loop semantic (LR schedule composition, loss
+cadence, MCMC relocation/growth, optimizer-state surgery, noise injection)
+is the reference's own torch code, while every pixel and gradient comes
+from this repo's kernels. Comparing the resulting model against
+gsplat_tpu.train.train_static on the identical dataset isolates
+trainer-loop semantics from renderer numerics.
+
+This module is TEST-ONLY (like tests/reference_port.py) and must run in a
+subprocess (it mutates torch global state and sys.modules).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+
+# --------------------------------------------------------------------------
+# CUDA -> CPU translation for the reference's torch code
+# --------------------------------------------------------------------------
+
+def _is_cuda_device(d) -> bool:
+    import torch
+
+    return isinstance(d, (str, torch.device)) and "cuda" in str(d)
+
+
+def install_cuda_to_cpu():
+    """Route every CUDA device request in subsequently-executed torch code
+    to CPU. Returns the (entered, never exited) TorchFunctionMode."""
+    import torch
+    from torch.overrides import TorchFunctionMode
+
+    class CudaToCpu(TorchFunctionMode):
+        def __torch_function__(self, func, _types, args=(), kwargs=None):
+            kwargs = dict(kwargs or {})
+            if _is_cuda_device(kwargs.get("device")):
+                kwargs["device"] = "cpu"
+            if func in (torch.Tensor.cuda,):
+                return args[0]
+            if func is torch.Tensor.to:
+                args = tuple(
+                    "cpu" if _is_cuda_device(a) else a for a in args)
+            return func(*args, **kwargs)
+
+    mode = CudaToCpu()
+    mode.__enter__()
+
+    class _FakeEvent:
+        """torch.cuda.Event stand-in (train_static.py:53-54 timing)."""
+
+        def __init__(self, *a, **k):
+            self._t = 0.0
+
+        def record(self, *a, **k):
+            import time
+
+            self._t = time.time()
+
+        def synchronize(self):
+            pass
+
+        def elapsed_time(self, other):
+            return (other._t - self._t) * 1000.0
+
+    torch.cuda.set_device = lambda *a, **k: None
+    torch.cuda.synchronize = lambda *a, **k: None
+    torch.cuda.empty_cache = lambda *a, **k: None
+    torch.cuda.Event = _FakeEvent
+    return mode
+
+
+# --------------------------------------------------------------------------
+# Shim: diff_gaussian_rasterization backed by gsplat_tpu.raster.rasterize
+# --------------------------------------------------------------------------
+
+def _make_render_fns(cap: int, k_dup: int, tile: int):
+    """(jitted forward, jitted backward) factories keyed by static config.
+
+    The reference grows/shrinks P dynamically (densification); JAX shapes
+    are static, so the shim pads every call to ``cap`` rows with an alive
+    mask — one compiled program per (sh_degree, W, H) instead of one per
+    P (SURVEY.md §2d 'static-padded to cap_max')."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsplat_tpu.core.camera import CameraParams
+    from gsplat_tpu.raster.rasterize import RasterizeSettings, rasterize
+
+    settings = RasterizeSettings(k_dup=k_dup, tile_x=tile, tile_y=tile,
+                                 chunk=128, interpret=True, layout="chw")
+
+    @functools.lru_cache(maxsize=None)
+    def fns(sh_degree: int, width: int, height: int):
+        def f(means, scales, quats, opa, shs, n_alive, view, full_proj,
+              campos, tanx, tany, bg, scale_mod):
+            cam = CameraParams(view=view, full_proj=full_proj,
+                               cam_pos=campos, tan_fovx=tanx, tan_fovy=tany,
+                               width=width, height=height)
+            alive = jnp.arange(means.shape[0]) < n_alive
+            out = rasterize(means, scales, quats, opa, shs, cam, sh_degree,
+                            bg, settings, scale_modifier=scale_mod,
+                            alive=alive)
+            return out.image, (out.radii, out.is_used)
+
+        @jax.jit
+        def fwd(*a):
+            return f(*a)
+
+        @jax.jit
+        def bwd(g, *a):
+            _, vjp_fn, _ = jax.vjp(f, *a, has_aux=True)
+            return vjp_fn(g)[:5]  # d(means, scales, quats, opa, shs)
+
+        return fwd, bwd
+
+    return fns
+
+
+def install_extension_shims(cap: int = 512, k_dup: int = 16384,
+                            tile: int = 16):
+    """Install fake diff_gaussian_rasterization / simple_knn modules."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from typing import NamedTuple
+
+    render_fns = _make_render_fns(cap, k_dup, tile)
+
+    dgr = types.ModuleType("diff_gaussian_rasterization")
+
+    class GaussianRasterizationSettings(NamedTuple):
+        # field list matches diff_gaussian_rasterization/__init__.py:157-169
+        image_height: int
+        image_width: int
+        tanfovx: float
+        tanfovy: float
+        bg: torch.Tensor
+        scale_modifier: float
+        viewmatrix: torch.Tensor
+        projmatrix: torch.Tensor
+        sh_degree: int
+        campos: torch.Tensor
+        prefiltered: bool
+        debug: bool
+
+    def _pad(x, fill, rows, cols=None):
+        p = np.full((rows,) + x.shape[1:], fill, np.float32)
+        return jnp.asarray(np.concatenate([np.asarray(x.detach(),
+                                                      np.float32), p], 0))
+
+    def _prep_inputs(means3D, opacities, scales, rotations, shs, rs):
+        p = means3D.shape[0]
+        assert p <= cap, f"shim capacity {cap} exceeded: P={p}"
+        pad = cap - p
+        means = _pad(means3D, 0.0, pad)
+        sc = _pad(scales, 1e-6, pad)
+        quats = np.concatenate(
+            [np.asarray(rotations.detach(), np.float32),
+             np.tile(np.array([1, 0, 0, 0], np.float32), (pad, 1))], 0)
+        opa = np.concatenate(
+            [np.asarray(opacities.detach(), np.float32)[:, 0],
+             np.zeros(pad, np.float32)], 0)
+        sh = _pad(shs, 0.0, pad)
+        # reference viewmatrix/projmatrix are ROW-MAJOR TRANSPOSED
+        # (cameras.py:63-70); CameraParams stores the plain matrices
+        view = np.asarray(rs.viewmatrix.detach(), np.float32).T
+        fp = np.asarray(rs.projmatrix.detach(), np.float32).T
+        return (means, sc, jnp.asarray(quats), jnp.asarray(opa), sh,
+                jnp.asarray(np.int32(p)), jnp.asarray(view),
+                jnp.asarray(fp),
+                jnp.asarray(np.asarray(rs.campos.detach(), np.float32)),
+                jnp.asarray(np.float32(rs.tanfovx)),
+                jnp.asarray(np.float32(rs.tanfovy)),
+                jnp.asarray(np.asarray(rs.bg.detach(), np.float32)),
+                jnp.asarray(np.float32(rs.scale_modifier)))
+
+    class _RasterizeGaussians(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, means3D, means2D, sh, colors_precomp, opacities,
+                    scales, rotations, cov3Ds_precomp, raster_settings):
+            assert sh.numel() > 0 and colors_precomp.numel() == 0, (
+                "shim supports the SH path (the trainers' path) only")
+            assert cov3Ds_precomp.numel() == 0, (
+                "shim supports the scale/rotation path only")
+            p = means3D.shape[0]
+            args = _prep_inputs(means3D, opacities, scales, rotations, sh,
+                                raster_settings)
+            fwd, _ = render_fns(int(raster_settings.sh_degree),
+                                int(raster_settings.image_width),
+                                int(raster_settings.image_height))
+            img, (radii, used) = fwd(*args)
+            ctx.shim_args = args
+            ctx.shim_sh_degree = int(raster_settings.sh_degree)
+            ctx.shim_wh = (int(raster_settings.image_width),
+                           int(raster_settings.image_height))
+            ctx.shim_p = p
+            color = torch.from_numpy(np.asarray(img, np.float32))
+            radii_t = torch.from_numpy(np.asarray(radii[:p], np.int32))
+            used_t = torch.from_numpy(np.asarray(used[:p], np.bool_))
+            return color, radii_t, used_t
+
+        @staticmethod
+        def backward(ctx, grad_color, _gr, _gu):
+            import jax.numpy as jnp
+
+            _, bwd = render_fns(ctx.shim_sh_degree, *ctx.shim_wh)
+            g = jnp.asarray(np.asarray(grad_color.detach(), np.float32))
+            d_means, d_scales, d_quats, d_opa, d_sh = bwd(g, *ctx.shim_args)
+            p = ctx.shim_p
+
+            def t(x):
+                return torch.from_numpy(np.asarray(x[:p], np.float32))
+
+            return (t(d_means), torch.zeros(p, 3), t(d_sh), None,
+                    t(d_opa).unsqueeze(-1), t(d_scales), t(d_quats), None,
+                    None)
+
+    def rasterize_gaussians(means3D, means2D, sh, colors_precomp, opacities,
+                            scales, rotations, cov3Ds_precomp,
+                            raster_settings):
+        return _RasterizeGaussians.apply(
+            means3D, means2D, sh, colors_precomp, opacities, scales,
+            rotations, cov3Ds_precomp, raster_settings)
+
+    class GaussianRasterizer(torch.nn.Module):
+        def __init__(self, raster_settings):
+            super().__init__()
+            self.raster_settings = raster_settings
+
+        def markVisible(self, positions):
+            from gsplat_tpu.core.camera import CameraParams
+            from gsplat_tpu.raster.rasterize import mark_visible
+
+            rs = self.raster_settings
+            view = np.asarray(rs.viewmatrix.detach(), np.float32).T
+            cam = CameraParams(
+                view=jnp.asarray(view),
+                full_proj=jnp.asarray(
+                    np.asarray(rs.projmatrix.detach(), np.float32).T),
+                cam_pos=jnp.asarray(
+                    np.asarray(rs.campos.detach(), np.float32)),
+                tan_fovx=jnp.asarray(np.float32(rs.tanfovx)),
+                tan_fovy=jnp.asarray(np.float32(rs.tanfovy)),
+                width=int(rs.image_width), height=int(rs.image_height))
+            vis = mark_visible(
+                jnp.asarray(np.asarray(positions.detach(), np.float32)),
+                cam)
+            return torch.from_numpy(np.asarray(vis, np.bool_))
+
+        def forward(self, means3D, means2D, opacities, shs=None,
+                    colors_precomp=None, scales=None, rotations=None,
+                    cov3D_precomp=None):
+            empty = torch.Tensor([])
+            return rasterize_gaussians(
+                means3D, means2D,
+                shs if shs is not None else empty,
+                colors_precomp if colors_precomp is not None else empty,
+                opacities,
+                scales if scales is not None else empty,
+                rotations if rotations is not None else empty,
+                cov3D_precomp if cov3D_precomp is not None else empty,
+                self.raster_settings)
+
+    def compute_relocation(opacity_old, scale_old, n, binoms, n_max):
+        """rasterize_points.cu:222-247 contract -> gsplat_tpu.model.mcmc
+        (binoms/n_max are baked into the jnp implementation's table)."""
+        from gsplat_tpu.model import mcmc
+
+        o_new, s_new = mcmc.compute_relocation(
+            jnp.asarray(np.asarray(opacity_old.detach(), np.float32)),
+            jnp.asarray(np.asarray(scale_old.detach(), np.float32)),
+            jnp.asarray(np.asarray(n.detach(), np.int32)))
+        return (torch.from_numpy(np.asarray(o_new, np.float32)),
+                torch.from_numpy(np.asarray(s_new, np.float32)))
+
+    dgr.GaussianRasterizationSettings = GaussianRasterizationSettings
+    dgr.GaussianRasterizer = GaussianRasterizer
+    dgr.rasterize_gaussians = rasterize_gaussians
+    dgr.compute_relocation = compute_relocation
+    sys.modules["diff_gaussian_rasterization"] = dgr
+
+    sknn = types.ModuleType("simple_knn")
+    sknn_c = types.ModuleType("simple_knn._C")
+
+    def distCUDA2(points):
+        """spatial.cu:15-26 contract -> gsplat_tpu.model.knn (exact)."""
+        from gsplat_tpu.model.knn import mean_sq_dist_3nn
+
+        d = mean_sq_dist_3nn(
+            jnp.asarray(np.asarray(points.detach(), np.float32)))
+        return torch.from_numpy(np.asarray(d, np.float32))
+
+    sknn_c.distCUDA2 = distCUDA2
+    sknn._C = sknn_c
+    sys.modules["simple_knn"] = sknn
+    sys.modules["simple_knn._C"] = sknn_c
+    return dgr
+
+
+def install_misc_shims():
+    """plyfile and open3d are not installed in this environment; the
+    reference imports both at module level. plyfile is load-bearing
+    (PLY round trips in dataset_readers.py:117-140 and
+    gaussian_model_static.py:214-296) and is shimmed on top of this repo's
+    byte-compatible gsplat_tpu.data.ply; open3d is only touched inside the
+    gated-off ARAP path (loss_utils.py:71-101), so an empty stub suffices."""
+    from gsplat_tpu.data.ply import read_ply, write_ply
+
+    class _Prop:
+        def __init__(self, name):
+            self.name = name
+
+    class _Elem:
+        def __init__(self, data, name="vertex"):
+            self.data = data
+            self.name = name
+
+        def __getitem__(self, key):
+            return self.data[key]
+
+        @property
+        def properties(self):
+            return [_Prop(n) for n in self.data.dtype.names]
+
+    class PlyElement:
+        @staticmethod
+        def describe(data, name):
+            return _Elem(data, name)
+
+    class PlyData:
+        def __init__(self, elements=None):
+            self.elements = list(elements or [])
+
+        def __getitem__(self, name):
+            return next(e for e in self.elements if e.name == name)
+
+        def write(self, path):
+            data = self.elements[0].data
+            names = list(data.dtype.names)
+            write_ply(path, names,
+                      [np.ascontiguousarray(data[n]) for n in names])
+
+        @staticmethod
+        def read(path):
+            cols = read_ply(path)
+            n = len(next(iter(cols.values())))
+            dtype = np.dtype([(k, a.dtype.str) for k, a in cols.items()])
+            arr = np.zeros(n, dtype=dtype)
+            for k, a in cols.items():
+                arr[k] = a
+            return PlyData([_Elem(arr, "vertex")])
+
+    ply = types.ModuleType("plyfile")
+    ply.PlyData = PlyData
+    ply.PlyElement = PlyElement
+    sys.modules["plyfile"] = ply
+
+    sys.modules.setdefault("open3d", types.ModuleType("open3d"))
+
+
+def patch_bitrotted_scene_methods():
+    """The reference's static trainer calls DynamicScene.clearAll()/
+    clearAllTest(), which the class does not define (bit-rot, SURVEY.md §7
+    quirks; train_static.py:75,209). Patch them as the no-ops they were
+    evidently meant to degrade to (the camera activate/deactivate cycle in
+    batchGetTrainCam already bounds memory)."""
+    import scene as ref_scene
+
+    if not hasattr(ref_scene.DynamicScene, "clearAll"):
+        ref_scene.DynamicScene.clearAll = lambda self: None
+    if not hasattr(ref_scene.DynamicScene, "clearAllTest"):
+        ref_scene.DynamicScene.clearAllTest = lambda self: None
+
+    # Bit-rot #2: SliWinManager.fetch_cams(fetcher) passes the LIST of
+    # sampled frames (tempo_utils.py:111-112) but train_static.py:76,178
+    # hands it getTrainCamerasAt/getTestCamerasAt, which take a SINGLE
+    # frame (scene/__init__.py:191-194) — a TypeError on iteration 1 as
+    # shipped. train_swin.py:158 shows the working idiom
+    # (batchGetTrainCam over the frame list); extend the scalar fetchers
+    # to accept frame collections with those concatenation semantics.
+    for name, batch in (("getTrainCamerasAt", "batchGetTrainCam"),
+                        ("getTestCamerasAt", "batchGetTestCam")):
+        orig = getattr(ref_scene.DynamicScene, name)
+
+        def wide(self, t, scale=1.0, _orig=orig, _batch=batch):
+            if isinstance(t, (list, tuple, range)):
+                # batchGet* returns the flat camera list over the frames
+                return getattr(self, _batch)(list(t), scale)
+            return _orig(self, t, scale)
+
+        setattr(ref_scene.DynamicScene, name, wide)
