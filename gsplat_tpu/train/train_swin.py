@@ -403,8 +403,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
-    training(model_cfg, opt, pipe, args)
+    state = training(model_cfg, opt, pipe, args)
     print("\nTraining complete.")
+    return state
 
 
 if __name__ == "__main__":
