@@ -38,6 +38,11 @@ import time
 import numpy as np
 
 A100_BASELINE_ITERS_PER_SEC = 30.0
+# 1M-cap (gate #3) anchor: midpoint of the 50-70 ms/it A100 band derived
+# for the reference codebase in BASELINE.md ("A100 anchor for the 1M-cap
+# config"); documented estimate, no A100 exists here to measure.
+A100_1M_MS_PER_ITER = 60.0
+TRAINED_STATS = "tests/fixtures/trained_stats.npz"
 
 
 def log(msg):
@@ -84,6 +89,52 @@ def _probe_backend(timeout_s: float = 180.0):
             "config": {"error": f"TPU backend unavailable: {out['error']}"},
         }))
         sys.exit(1)
+
+
+def trained_stats_state(p: int, sh: int, rng, stats_path: str = None):
+    """GaussianState for the 1M-cap stage with TRAINED-SCENE opacity and
+    scale distributions (round-3 verdict weak #4: the uniform random cloud
+    ran the blend kernels at near-zero saturation, defeating the early-exit
+    that real trained scenes trigger; a trained model is dominated by
+    near-transparent gaussians under the opacity L1 reg, plus a saturating
+    opaque core).
+
+    Samples per-gaussian opacity and per-axis log-scales by inverse-CDF
+    from the quantile tables dumped by scripts/soak_30k.py (a full
+    30k-iteration default-schedule training run on this hardware).
+    Positions stay a uniform cloud at matched spread — binning load is
+    position-driven and the box is the conservative (densest) layout.
+    Returns (state, source_str)."""
+    import dataclasses
+    import os
+
+    import jax.numpy as jnp
+
+    from gsplat_tpu.model import gaussians
+
+    stats_path = stats_path or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), TRAINED_STATS)
+    pts = rng.uniform(-1, 1, (p, 3)).astype(np.float32)
+    state = gaussians.create_from_points(
+        pts, rng.uniform(0, 1, (p, 3)).astype(np.float32),
+        capacity=p, max_sh_degree=sh)
+    if not os.path.exists(stats_path):
+        return state, "uniform-random (trained_stats.npz missing)"
+    st = np.load(stats_path)
+    grid = np.linspace(0, 1, len(st["opacity_quantiles"]))
+    opa = np.interp(rng.uniform(0, 1, p).astype(np.float32), grid,
+                    st["opacity_quantiles"]).astype(np.float32)
+    opa = np.clip(opa, 1e-4, 1 - 1e-4)
+    logscale = np.interp(rng.uniform(0, 1, (p, 3)).astype(np.float32),
+                         np.linspace(0, 1, len(st["logscale_quantiles"])),
+                         st["logscale_quantiles"]).astype(np.float32)
+    # log-scales transfer directly: the soak trains in the same world
+    # units (unit-box cloud under the same camera rig geometry)
+    state = dataclasses.replace(
+        state,
+        opacity=jnp.asarray(np.log(opa / (1 - opa))[:, None]),
+        scaling=jnp.asarray(logscale))
+    return state, str(st["source"].astype(str)) if "source" in st else "stats"
 
 
 def hw_parity_stage(on_cpu: bool):
@@ -294,10 +345,8 @@ def main():
         dataclasses.replace(chw, k_dup=settings.k_dup)).image)
     mgts = [mgt_render(c) for c in mcams]
     jax.block_until_ready(mgts[-1])
-    mpts = rng.uniform(-1, 1, (mp, 3)).astype(np.float32)
-    mstate = gaussians.create_from_points(
-        mpts, rng.uniform(0, 1, (mp, 3)).astype(np.float32),
-        capacity=mp, max_sh_degree=sh)
+    mstate, m_src = trained_stats_state(mp, sh, rng)
+    log(f"1M workload opacity/scale source: {m_src}")
     msettings = dataclasses.replace(settings,
                                     k_dup=(1 << 15) if on_cpu else 1 << 21)
     mprobe = jax.jit(lambda st, c: rasterize(
@@ -415,6 +464,9 @@ def main():
                    "render_num_dup": rneed,
                    "render_ms": round(1000.0 / fps, 2),
                    "train_1m_ms_per_iter": round(m_ms_it, 1),
+                   "train_1m_vs_anchor": round(A100_1M_MS_PER_ITER
+                                               / m_ms_it, 3),
+                   "train_1m_workload": m_src,
                    "train_1m_gaussians": mp,
                    "train_1m_image": f"{mw}x{mh}",
                    "train_1m_num_dup": mneed,

@@ -91,6 +91,12 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
         print("Please specify the maximum number of Gaussians with --cap_max.")
         sys.exit(1)
 
+    # safe_state parity (general_utils.py:112-133): pin the python-random
+    # camera draw so runs are reproducible and CI gates deterministic
+    import random as _random
+
+    _random.seed(getattr(args, "camera_seed", 0))
+
     tb_writer = _prepare_output_and_logger(model_cfg, args)
 
     scene_type = detect_scene_type(model_cfg.source_path)
@@ -426,6 +432,12 @@ def main(argv=None):
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--frame", type=int, default=0)
+    parser.add_argument("--camera_seed", type=int, default=0,
+                        help="seed for the python-random camera draw "
+                             "(safe_state parity: the reference seeds all "
+                             "RNGs to 0, general_utils.py:112-133; a "
+                             "fixed seed also makes the CI quality gates "
+                             "deterministic)")
     parser.add_argument("--profile_iterations", nargs=2, type=int,
                         default=None,
                         help="capture a jax.profiler trace over [a, b)")

@@ -4,8 +4,11 @@ producing NaNs must fail CI, not just pass the oracle tests.
 
 The fixture (tests/fixtures/quality_blender) is a tiny Blender-format
 dataset rendered ONCE with the pure-jnp oracle renderer and checked in;
-regenerate only deliberately (scripts in git history). Thresholds carry
-~2.4 dB of margin below the calibrated CPU result (21.9 dB @300 iters).
+regenerate only deliberately (scripts in git history). The trainers seed
+the python-random camera draw (safe_state parity), so runs are
+deterministic; measured 3-seed spread is <= 0.08 dB and the gates sit
+~1 dB below the calibrated values (round-3 verdict weak #3: a 2 dB real
+regression must fail CI).
 """
 
 import json
@@ -64,9 +67,11 @@ def test_fixture_training_reaches_pinned_psnr(tmp_path):
         psnrs.append(_psnr(np.clip(np.asarray(out_img), 0, 1),
                            np.clip(np.asarray(gt), 0, 1)))
     mean_psnr = float(np.mean(psnrs))
-    # calibrated: 21.9 dB on CPU at 300 iters (see module docstring)
-    assert mean_psnr >= 19.5, (
-        f"held-out PSNR regressed: {mean_psnr:.2f} dB < 19.5 dB gate "
+    # calibrated (round 4, seeded camera draw): 21.92/21.98/21.97 dB over
+    # camera seeds 0/1/2 — 0.06 dB spread; gate carries ~0.9 dB margin so
+    # a >=1 dB real regression fails CI (round-3 verdict weak #3)
+    assert mean_psnr >= 21.0, (
+        f"held-out PSNR regressed: {mean_psnr:.2f} dB < 21.0 dB gate "
         f"(per-view: {[f'{p:.2f}' for p in psnrs]})")
 
 
@@ -137,9 +142,11 @@ def test_training_against_independent_cuda_port_gt(tmp_path):
         psnrs.append(_psnr(np.clip(np.asarray(img), 0, 1),
                            np.clip(np.asarray(gt), 0, 1)))
     mean_psnr = float(np.mean(psnrs))
-    assert mean_psnr >= 17.0, (
+    # calibrated (round 4, seeded): 19.29/19.26/19.34 dB over camera
+    # seeds 0/1/2 — 0.08 dB spread; ~0.95 dB margin
+    assert mean_psnr >= 18.3, (
         f"held-out PSNR vs CUDA-port GT regressed: {mean_psnr:.2f} dB "
-        f"< 17.0 dB gate (per-view: {[f'{p:.2f}' for p in psnrs]})")
+        f"< 18.3 dB gate (per-view: {[f'{p:.2f}' for p in psnrs]})")
 
 
 def test_cudaport_fixture_is_intact():
@@ -189,9 +196,11 @@ def test_swin_training_against_independent_dynamic_gt(tmp_path):
     vals = [float(m) for m in re.findall(r"PSNR ([0-9.]+)", txt)]
     assert len(vals) >= 4, txt
     tail = float(np.mean(vals[-4:]))
-    assert tail >= 17.5, (
+    # calibrated 20.6 dB (train_swin seeds python-random itself); ~1.1 dB
+    # margin per the round-3 verdict's >=19.5 ask
+    assert tail >= 19.5, (
         f"swin PSNR vs independent dynamic GT regressed: {tail:.2f} dB "
-        f"< 17.5 gate (entries: {[f'{v:.2f}' for v in vals]})")
+        f"< 19.5 gate (entries: {[f'{v:.2f}' for v in vals]})")
 
 
 def test_dyn_fixture_is_intact():
