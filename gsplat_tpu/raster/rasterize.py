@@ -72,7 +72,12 @@ class RasterizeOutput(NamedTuple):
                            # Training path: exact (per-contribution OR from
                            # the kernel; the reduction is pure XLA, so it is
                            # dead-code-eliminated when not consumed).
-                           # Inference path: tile-granular (== used_tile).
+                           # Inference path: tile-granular (== used_tile) —
+                           # a documented deviation from forward.cu:364;
+                           # callers needing the exact per-pixel flag at
+                           # inference should render once with
+                           # inference=False (the trainers never consume
+                           # it, SURVEY.md §7 quirks).
     num_dup: jnp.ndarray   # [] int32 true duplicate count (check <= k_dup)
     final_t: jnp.ndarray   # [H, W] final transmittance
     used_tile: jnp.ndarray  # [P] bool — has >= 1 surviving duplicate
