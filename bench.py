@@ -128,13 +128,19 @@ def trained_stats_state(p: int, sh: int, rng, stats_path: str = None):
     logscale = np.interp(rng.uniform(0, 1, (p, 3)).astype(np.float32),
                          np.linspace(0, 1, len(st["logscale_quantiles"])),
                          st["logscale_quantiles"]).astype(np.float32)
-    # log-scales transfer directly: the soak trains in the same world
-    # units (unit-box cloud under the same camera rig geometry)
+    # Density correction: splat size tracks gaussian surface density — a
+    # converged scene at 10x the count covers the same surfaces with
+    # ~1/sqrt(10) the splat radius. Transferring the 100k soak's scale
+    # quantiles RAW onto a 1M cloud measured 12.9M duplicates (10x the
+    # converged-scene class); shift log-scales by -0.5*ln(P/N_source).
+    n_src = max(int(st["n_alive"]), 1)
+    logscale += np.float32(-0.5 * np.log(max(p / n_src, 1.0)))
     state = dataclasses.replace(
         state,
         opacity=jnp.asarray(np.log(opa / (1 - opa))[:, None]),
         scaling=jnp.asarray(logscale))
-    return state, str(st["source"].astype(str)) if "source" in st else "stats"
+    src = str(st["source"].astype(str)) if "source" in st else "stats"
+    return state, f"{src} (density-corrected x{p / n_src:.0f})"
 
 
 def hw_parity_stage(on_cpu: bool):

@@ -80,9 +80,22 @@ def _relocated_raw(state: GaussianState, template_idx, counts_plus_one):
 
 def _sample_templates(key, probs, capacity: int):
     """iid opacity-weighted template indices for every row (the fixed-shape
-    analogue of _sample_alives, gaussian_model_static.py:412-422)."""
-    logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)), -jnp.inf)
-    return jax.random.categorical(key, logits, shape=(capacity,)).astype(jnp.int32)
+    analogue of _sample_alives / torch.multinomial-with-replacement,
+    gaussian_model_static.py:412-422).
+
+    Inverse-CDF sampling (cumsum + uniform + searchsorted), O(P log P).
+    jax.random.categorical here would reduce a [draws, categories] =
+    [C, C] Gumbel array: ~0.5 s per densify at C=100k (measured in the
+    30k soak) and an outright TPU InvalidArgument at C=1M (> 2^31
+    elements). side="left" with strictly-increasing cdf over positive
+    probs means zero-prob rows (cdf flat) can never be selected when any
+    positive mass exists."""
+    cdf = jnp.cumsum(probs)
+    u = jax.random.uniform(key, (capacity,), dtype=jnp.float32)
+    # u > 0 strictly: u == 0 would select a leading zero-prob row
+    u = jnp.maximum(u, jnp.finfo(jnp.float32).tiny) * cdf[-1]
+    idx = jnp.searchsorted(cdf, u, side="left")
+    return jnp.clip(idx, 0, capacity - 1).astype(jnp.int32)
 
 
 def _clone_rows(state: GaussianState, row_mask, template_idx, o_raw, s_raw):

@@ -59,12 +59,11 @@ def main():
         return (time.time() - t0) / n * 1000.0
 
     # 1. the jitted densify (relocation sampling + clone + moment zeroing).
-    #    NOT donated here so it can repeat; the trainer's donated call is
-    #    cheaper if anything.
-    import copy
-
+    #    densify donates BOTH state and adam — copy both per call so the
+    #    measurement can repeat (the trainer's donated call is cheaper).
     def run_densify():
-        return densify(jax.tree.map(jnp.copy, state), adam,
+        return densify(jax.tree.map(jnp.copy, state),
+                       jax.tree.map(jnp.copy, adam),
                        jax.random.PRNGKey(0))
 
     ms_densify = t(run_densify, n=5)

@@ -18,7 +18,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SHAPES = [(64, 16), (64, 32), (128, 16), (128, 32), (32, 16)]
+SHAPES = [(64, 16), (64, 32), (128, 32)]  # default + the two CPU-analysis
+                                          # slot-minimizing candidates
 
 
 def main():
