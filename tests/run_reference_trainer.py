@@ -46,6 +46,11 @@ def main(argv):
     rh.install_misc_shims()
 
     sys.path.insert(0, rh.REFERENCE_ROOT)
+
+    if "--swin" in argv:
+        argv.remove("--swin")
+        return run_swin(argv)
+
     import train_static as ref_train  # the reference's own module
 
     rh.patch_bitrotted_scene_methods()
@@ -105,6 +110,33 @@ def main(argv):
         json.dump({"losses": losses, "iterations": args.iterations,
                    "cap_max": args.cap_max}, f)
     print(f"wrote {out} ({len(losses)} loss samples)")
+
+
+def run_swin(argv):
+    """Run the reference's SLIDING-WINDOW trainer (train_swin.py — the
+    fork's actively-used entry) through the same shims. The rigid
+    deformation runs in the reference's own torch code
+    (utils/tempo_utils.py) UPSTREAM of the shimmed rasterizer, so
+    gradients to rigid_v/rotvec/rotcen chain through torch autograd and
+    the shim's d_means3D/d_rotations — no extra bridging needed.
+    Mirrors train_swin.py:372-380 (__main__)."""
+    import random
+
+    import train_swin as ref_swin
+
+    import reference_harness as rh
+
+    rh.patch_bitrotted_scene_methods()
+
+    random.seed(314159)  # train_swin.py:379
+    old_argv = sys.argv
+    sys.argv = ["train_swin.py"] + argv
+    try:
+        dataset_args, train_args, pipe_args, args = ref_swin.parse()
+    finally:
+        sys.argv = old_argv
+    ref_swin.train(dataset_args, train_args, pipe_args, args)
+    print(f"reference swin run complete -> {args.model_path}")
 
 
 if __name__ == "__main__":
