@@ -94,7 +94,10 @@ def _sample_templates(key, probs, capacity: int):
     u = jax.random.uniform(key, (capacity,), dtype=jnp.float32)
     # u > 0 strictly: u == 0 would select a leading zero-prob row
     u = jnp.maximum(u, jnp.finfo(jnp.float32).tiny) * cdf[-1]
-    idx = jnp.searchsorted(cdf, u, side="left")
+    # method="sort": one 2C-element sort instead of the default binary
+    # search (log2(C) sequential 1-per-query gather rounds — ~130 ms per
+    # call at C=1M vs ~10 ms for the sort on v5e)
+    idx = jnp.searchsorted(cdf, u, side="left", method="sort")
     return jnp.clip(idx, 0, capacity - 1).astype(jnp.int32)
 
 
