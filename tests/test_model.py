@@ -227,3 +227,50 @@ def test_arap_loss_zero_for_rigid_field():
     varying = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
     pens2 = arap_loss(xyz, [varying], nbr["indices"])
     assert float(pens2[0]) > 0.0
+
+
+def test_sample_templates_distribution_and_masking():
+    """Regression for the round-4 sampler rewrite (O(P^2) categorical ->
+    inverse-CDF): empirical frequencies must match the weights
+    (multinomial-with-replacement semantics of _sample_alives,
+    gaussian_model_static.py:412-422) and zero-probability rows —
+    including LEADING zeros, which a u=0 draw could otherwise hit — must
+    never be selected."""
+    import jax
+
+    from gsplat_tpu.model.mcmc import _sample_templates
+
+    probs = jnp.asarray(np.array([0.0, 0.1, 0.0, 0.3, 0.6, 0.0],
+                                 np.float32))
+    idx = np.asarray(_sample_templates(jax.random.PRNGKey(0), probs,
+                                       200_000))
+    counts = np.bincount(idx, minlength=6) / 200_000
+    assert counts[0] == 0 and counts[2] == 0 and counts[5] == 0, counts
+    np.testing.assert_allclose(counts[[1, 3, 4]], [0.1, 0.3, 0.6],
+                               atol=0.01)
+
+    # all mass on the last row behind leading zeros
+    probs2 = jnp.asarray(np.array([0.0, 0.0, 1e-8], np.float32))
+    idx2 = np.asarray(_sample_templates(jax.random.PRNGKey(1), probs2,
+                                        10_000))
+    assert (idx2 == 2).all(), np.bincount(idx2)
+
+
+def test_densify_scales_to_large_capacity():
+    """The categorical-based sampler materialized O(P^2) work (TPU
+    InvalidArgument at cap 1M); keep a capacity-scaling smoke so the
+    densify program stays O(P log P). 2^18 rows on CPU: completes in
+    seconds, would be minutes/OOM with a [C, C] reduction."""
+    import jax
+
+    cap = 1 << 18
+    rng = np.random.default_rng(0)
+    state = gaussians.create_from_points(
+        rng.uniform(-1, 1, (cap, 3)).astype(np.float32),
+        rng.uniform(0, 1, (cap, 3)).astype(np.float32),
+        capacity=cap, max_sh_degree=1)
+    adam = optim.init(state.params())
+    s2, a2 = mcmc.relocate_gs(state, adam, jax.random.PRNGKey(0))
+    s3, _ = mcmc.add_new_gs(s2, a2, jax.random.PRNGKey(1), cap)
+    assert bool(jnp.all(jnp.isfinite(s3.xyz)))
+    assert int(s3.n_alive) == cap
