@@ -91,7 +91,8 @@ def _probe_backend(timeout_s: float = 180.0):
         sys.exit(1)
 
 
-def trained_stats_state(p: int, sh: int, rng, stats_path: str = None):
+def trained_stats_state(p: int, sh: int, rng, stats_path: str = None,
+                        positions: str = "uniform"):
     """GaussianState for the 1M-cap stage with TRAINED-SCENE opacity and
     scale distributions (round-3 verdict weak #4: the uniform random cloud
     ran the blend kernels at near-zero saturation, defeating the early-exit
@@ -99,11 +100,18 @@ def trained_stats_state(p: int, sh: int, rng, stats_path: str = None):
     near-transparent gaussians under the opacity L1 reg, plus a saturating
     opaque core).
 
-    Samples per-gaussian opacity and per-axis log-scales by inverse-CDF
+    Samples per-gaussian opacity and log-scale TRIPLES by inverse-CDF
     from the quantile tables dumped by scripts/soak_30k.py (a full
-    30k-iteration default-schedule training run on this hardware).
-    Positions stay a uniform cloud at matched spread — binning load is
-    position-driven and the box is the conservative (densest) layout.
+    30k-iteration default-schedule training run on this hardware). Scale
+    triples come from the per-gaussian sorted-triple quantile table when
+    present (one quantile draw per gaussian, axes then permuted) so the
+    anisotropy correlation of real converged gaussians survives; the old
+    pooled-marginal path is the fallback for pre-round-5 stats files.
+
+    positions="uniform": uniform cloud at matched spread (the conservative
+    densest layout). positions="clustered": bootstrap-resample the soak's
+    committed position subsample with a small jitter (KDE draw) — the
+    realistic converged layout, used to bound the uniform-cloud bias.
     Returns (state, source_str)."""
     import dataclasses
     import os
@@ -114,20 +122,45 @@ def trained_stats_state(p: int, sh: int, rng, stats_path: str = None):
 
     stats_path = stats_path or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), TRAINED_STATS)
-    pts = rng.uniform(-1, 1, (p, 3)).astype(np.float32)
+    st = np.load(stats_path) if os.path.exists(stats_path) else None
+    if positions == "clustered" and st is not None and "xyz_sample" in st:
+        src_pts = st["xyz_sample"]
+        picks = rng.integers(0, len(src_pts), p)
+        # jitter bandwidth ~ Silverman n^(-1/5) of the per-axis std
+        bw = src_pts.std(0) * (len(src_pts) ** -0.2)
+        pts = (src_pts[picks]
+               + rng.normal(0, 1, (p, 3)).astype(np.float32) * bw
+               ).astype(np.float32)
+        pos_tag = " positions=clustered"
+    else:
+        pts = rng.uniform(-1, 1, (p, 3)).astype(np.float32)
+        pos_tag = ""
     state = gaussians.create_from_points(
         pts, rng.uniform(0, 1, (p, 3)).astype(np.float32),
         capacity=p, max_sh_degree=sh)
-    if not os.path.exists(stats_path):
+    if st is None:
         return state, "uniform-random (trained_stats.npz missing)"
-    st = np.load(stats_path)
     grid = np.linspace(0, 1, len(st["opacity_quantiles"]))
     opa = np.interp(rng.uniform(0, 1, p).astype(np.float32), grid,
                     st["opacity_quantiles"]).astype(np.float32)
     opa = np.clip(opa, 1e-4, 1 - 1e-4)
-    logscale = np.interp(rng.uniform(0, 1, (p, 3)).astype(np.float32),
-                         np.linspace(0, 1, len(st["logscale_quantiles"])),
-                         st["logscale_quantiles"]).astype(np.float32)
+    if "logscale_sorted_quantiles" in st:
+        # one quantile per gaussian -> sorted triple row; random axis
+        # permutation de-sorts without changing the joint distribution
+        sq = st["logscale_sorted_quantiles"]       # [Q, 3] ascending cols
+        u = rng.uniform(0, 1, p).astype(np.float32)
+        gridq = np.linspace(0, 1, len(sq))
+        triple = np.stack([np.interp(u, gridq, sq[:, i])
+                           for i in range(3)], axis=1)
+        perm = rng.permuted(np.tile(np.arange(3), (p, 1)), axis=1)
+        logscale = np.take_along_axis(triple, perm, axis=1).astype(
+            np.float32)
+        pos_tag += " aniso-correlated"
+    else:
+        logscale = np.interp(
+            rng.uniform(0, 1, (p, 3)).astype(np.float32),
+            np.linspace(0, 1, len(st["logscale_quantiles"])),
+            st["logscale_quantiles"]).astype(np.float32)
     # Density correction: splat size tracks gaussian surface density — a
     # converged scene at 10x the count covers the same surfaces with
     # ~1/sqrt(10) the splat radius. Transferring the 100k soak's scale
@@ -140,7 +173,7 @@ def trained_stats_state(p: int, sh: int, rng, stats_path: str = None):
         opacity=jnp.asarray(np.log(opa / (1 - opa))[:, None]),
         scaling=jnp.asarray(logscale))
     src = str(st["source"].astype(str)) if "source" in st else "stats"
-    return state, f"{src} (density-corrected x{p / n_src:.0f})"
+    return state, f"{src} (density-corrected x{p / n_src:.0f}){pos_tag}"
 
 
 def hw_parity_stage(on_cpu: bool):

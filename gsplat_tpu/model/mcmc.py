@@ -89,11 +89,24 @@ def _sample_templates(key, probs, capacity: int):
     30k soak) and an outright TPU InvalidArgument at C=1M (> 2^31
     elements). side="left" with strictly-increasing cdf over positive
     probs means zero-prob rows (cdf flat) can never be selected when any
-    positive mass exists."""
+    positive mass exists.
+
+    Known f32 limitation: the cumsum quantizes selection probabilities to
+    the cdf's ULP (~total_mass * 2^-24); at C~1M with total opacity mass
+    ~2e5 a template with opacity below ~0.01 contributes O(1) ULPs, so
+    selection probabilities among near-transparent templates are distorted
+    by up to ~50% of their own (tiny) mass. This only redistributes
+    probability within the near-zero-opacity tail (which relocation
+    weights lowest by design, gaussian_model_static.py:440); the
+    reference's torch.multinomial carries the same class of error via its
+    own f32 normalization."""
     cdf = jnp.cumsum(probs)
     u = jax.random.uniform(key, (capacity,), dtype=jnp.float32)
-    # u > 0 strictly: u == 0 would select a leading zero-prob row
-    u = jnp.maximum(u, jnp.finfo(jnp.float32).tiny) * cdf[-1]
+    # scale FIRST, then clamp away from 0: u > 0 strictly guarantees a
+    # leading zero-prob row can never be selected whenever any positive
+    # mass exists (clamping before the scale underflows back to 0 when
+    # cdf[-1] < 1 under TPU flush-to-zero: tiny * small == 0)
+    u = jnp.maximum(u * cdf[-1], jnp.finfo(jnp.float32).tiny)
     # method="sort": one 2C-element sort instead of the default binary
     # search (log2(C) sequential 1-per-query gather rounds — ~130 ms per
     # call at C=1M vs ~10 ms for the sort on v5e)

@@ -204,15 +204,32 @@ def _dump_stats(state, path: str, source: str) -> None:
     logscale = np.asarray(state.scaling)[alive]       # [N,3] log-scales
     xyz = np.asarray(state.xyz)[alive]
     q = np.linspace(0, 1, 257)
+    # per-gaussian SORTED log-scale triples, each sorted column quantiled
+    # separately: sampling one quantile u per gaussian and reading the
+    # [u, :] row reproduces the joint (anisotropy-correlated) distribution
+    # of per-gaussian scale triples, not just the pooled marginal
+    # (round-4 advisor finding: independent marginal draws destroy the
+    # anisotropy correlation the 1M workload exists to model)
+    triples = np.sort(logscale, axis=1)               # [N,3] ascending
+    sorted_triple_q = np.stack(
+        [np.quantile(triples[:, i], q) for i in range(3)],
+        axis=1).astype(np.float32)                    # [257, 3]
+    # position subsample: clustered-layout workloads bootstrap-resample
+    # these real converged positions instead of a uniform cloud
+    rng = np.random.default_rng(0)
+    n_pos = min(len(xyz), 50_000)
+    xyz_sample = xyz[rng.choice(len(xyz), n_pos, replace=False)]
     np.savez_compressed(
         path,
         opacity_quantiles=np.quantile(opac, q).astype(np.float32),
         logscale_quantiles=np.quantile(logscale.reshape(-1),
                                        q).astype(np.float32),
+        logscale_sorted_quantiles=sorted_triple_q,
         # per-gaussian anisotropy: spread of the 3 log-scales
         aniso_quantiles=np.quantile(logscale.max(1) - logscale.min(1),
                                     q).astype(np.float32),
         xyz_std=xyz.std(0).astype(np.float32),
+        xyz_sample=xyz_sample.astype(np.float32),
         n_alive=np.int64(alive.sum()),
         source=np.bytes_(source))
 
