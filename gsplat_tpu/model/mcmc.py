@@ -142,6 +142,40 @@ def _clone_rows(state: GaussianState, row_mask, template_idx, o_raw, s_raw):
     return state.replace_params(new), template_mask
 
 
+def _relocate_with(state: GaussianState, opt_state: optim.AdamState,
+                   row_mask, t):
+    """Core of relocate_gs given the dead-row mask and a per-row template
+    map ``t`` ([C] int; only entries at masked rows are used). Shared by the
+    sampled path and the RNG-replay path (tests/run_reference_trainer.py
+    records the reference loop's draws; train_static --replay_rng injects
+    them here)."""
+    counts = jax.ops.segment_sum(row_mask.astype(jnp.int32), t,
+                                 num_segments=state.capacity)
+    n_per_dead = counts[t] + 1
+    o_raw, s_raw = _relocated_raw(state, t, n_per_dead)
+    new_state, template_mask = _clone_rows(state, row_mask, t, o_raw, s_raw)
+    new_opt = optim.zero_moments_at(opt_state, template_mask)
+    return new_state, new_opt
+
+
+def _add_with(state: GaussianState, opt_state: optim.AdamState, t, target):
+    """Core of add_new_gs given the template map and the post-growth alive
+    count ``target`` (new rows are [n_alive, target))."""
+    c = state.capacity
+    n = state.n_alive
+    target = jnp.maximum(jnp.asarray(target, jnp.int32), n)
+    rows = jnp.arange(c, dtype=jnp.int32)
+    new_mask = (rows >= n) & (rows < target)
+    counts = jax.ops.segment_sum(new_mask.astype(jnp.int32), t,
+                                 num_segments=c)
+    n_per_new = counts[t] + 1
+    o_raw, s_raw = _relocated_raw(state, t, n_per_new)
+    new_state, template_mask = _clone_rows(state, new_mask, t, o_raw, s_raw)
+    new_state = dataclasses.replace(new_state, n_alive=target)
+    new_opt = optim.zero_moments_at(opt_state, template_mask | new_mask)
+    return new_state, new_opt
+
+
 def relocate_gs(state: GaussianState, opt_state: optim.AdamState, key,
                 dead_opacity: float = 0.005):
     """Teleport dead Gaussians (opacity <= 0.005) onto live templates.
@@ -161,16 +195,15 @@ def relocate_gs(state: GaussianState, opt_state: optim.AdamState, key,
     probs = jnp.where(any_src, probs, jnp.where(alive, 1.0, 0.0))
 
     t = _sample_templates(key, probs, state.capacity)
-    counts = jax.ops.segment_sum(dead.astype(jnp.int32), t,
-                                 num_segments=state.capacity)
-    n_per_dead = counts[t] + 1
-    o_raw, s_raw = _relocated_raw(state, t, n_per_dead)
-
     do_it = any_src & jnp.any(dead)
-    row_mask = dead & do_it
-    new_state, template_mask = _clone_rows(state, row_mask, t, o_raw, s_raw)
-    new_opt = optim.zero_moments_at(opt_state, template_mask)
-    return new_state, new_opt
+    return _relocate_with(state, opt_state, dead & do_it, t)
+
+
+def relocate_gs_forced(state: GaussianState, opt_state: optim.AdamState,
+                       dead_mask, templates):
+    """Replay variant: dead mask and per-row templates injected from a
+    recorded reference-loop schedule instead of sampled."""
+    return _relocate_with(state, opt_state, dead_mask, templates)
 
 
 def add_new_gs(state: GaussianState, opt_state: optim.AdamState, key,
@@ -185,8 +218,6 @@ def add_new_gs(state: GaussianState, opt_state: optim.AdamState, key,
     target = jnp.minimum(jnp.asarray(cap, jnp.int32),
                          (growth * n.astype(jnp.float32)).astype(jnp.int32))
     target = jnp.maximum(target, n)
-    rows = jnp.arange(c, dtype=jnp.int32)
-    new_mask = (rows >= n) & (rows < target)
 
     alive = state.alive_mask
     opa = state.get_opacity()[:, 0]
@@ -195,26 +226,31 @@ def add_new_gs(state: GaussianState, opt_state: optim.AdamState, key,
     probs = jnp.where(any_src, probs, jnp.where(alive, 1.0, 0.0))
 
     t = _sample_templates(key, probs, c)
-    counts = jax.ops.segment_sum(new_mask.astype(jnp.int32), t,
-                                 num_segments=c)
-    n_per_new = counts[t] + 1
-    o_raw, s_raw = _relocated_raw(state, t, n_per_new)
-
-    new_state, template_mask = _clone_rows(state, new_mask, t, o_raw, s_raw)
-    new_state = dataclasses.replace(new_state, n_alive=target)
-    new_opt = optim.zero_moments_at(opt_state, template_mask | new_mask)
-    return new_state, new_opt
+    return _add_with(state, opt_state, t, target)
 
 
-def inject_noise(state: GaussianState, key, noise_lr, xyz_lr):
+def add_new_gs_forced(state: GaussianState, opt_state: optim.AdamState,
+                      templates, target):
+    """Replay variant: templates for the new rows [n_alive, target) injected
+    from a recorded reference-loop schedule."""
+    return _add_with(state, opt_state, templates, target)
+
+
+def inject_noise(state: GaussianState, key, noise_lr, xyz_lr,
+                 raw_noise=None):
     """Covariance-shaped positional noise on near-transparent Gaussians
     (train_static.py:132-140): xyz += Sigma @ randn * sigmoid(-100*((1-o) -
-    0.995)^-)... precisely: gate = 1/(1+exp(-100*((1-opacity) - 0.995)))."""
+    0.995)^-)... precisely: gate = 1/(1+exp(-100*((1-opacity) - 0.995))).
+
+    raw_noise ([C, 3], standard normal) overrides the key-drawn sample —
+    the RNG-replay hook for exec-parity against the reference loop."""
     from gsplat_tpu.core.covariance import covariance_6
 
     opa = state.get_opacity()
     gate = jax.nn.sigmoid(100.0 * ((1.0 - opa) - 0.995))  # [C, 1]
-    noise = jax.random.normal(key, state.xyz.shape) * gate * noise_lr * xyz_lr
+    raw = (jax.random.normal(key, state.xyz.shape) if raw_noise is None
+           else raw_noise)
+    noise = raw * gate * noise_lr * xyz_lr
     # Sigma @ noise, elementwise from the packed 6-vector covariance
     # (batched 3x3 matmuls lower poorly on the MXU).
     xx, xy, xz, yy, yz, zz = (covariance_6(

@@ -130,6 +130,81 @@ def make_swin_train_step(opt: OptimizationConfig,
     return swin_train_step
 
 
+def make_swin_grad_step(opt: OptimizationConfig,
+                        settings: RasterizeSettings,
+                        spatial_lr_scale: float):
+    """Gradient half of the swin step — densification iterations follow the
+    reference interleave backward -> densify -> optimizer.step
+    (train_swin.py:203-242). In the swin loop the Adam update is ALWAYS
+    skipped on densify iterations: relocate_gs_immuture runs
+    replace_tensors_to_optimizer unconditionally (gaussian_model.py:957,
+    even with zero dead rows), recreating every nn.Parameter with
+    grad=None, so the reference's optimizer.step() no-ops. The gradient
+    computed here exists for metrics parity only."""
+    settings = dataclasses.replace(settings, layout="chw")
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",))
+    def swin_grad_step(state: SwinState, camera: CameraParams, gt_image,
+                       bg, frame, sh_degree: int):
+        def loss_fn(params):
+            return swin_loss(opt, settings, state, params, camera,
+                             gt_image, bg, frame, sh_degree)
+
+        (loss, (ll1, num_dup, img, n_active)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params())
+        return grads, SwinMetrics(
+            loss=loss, l1=ll1, num_dup=num_dup,
+            psnr=losses.psnr(jnp.clip(img, 0, 1), jnp.clip(gt_image, 0, 1),
+                             channel_axis=0),
+            n_active=n_active)
+
+    return swin_grad_step
+
+
+def make_swin_apply_step(opt: OptimizationConfig, spatial_lr_scale: float):
+    """Adam + noise half of the split swin step. ``do_adam`` mirrors the
+    torch grad=None skip (see make_swin_grad_step); noise injection on the
+    active immature set still runs (note: the REFERENCE's swin noise is a
+    silent no-op — train_swin.py:261 ``_xyz[idx].add_()`` mutates an
+    advanced-indexing COPY; we implement the intended MCMC perturbation,
+    and parity tests pin --noise_lr 0 to compare loops)."""
+
+    @functools.partial(jax.jit, donate_argnames=("state", "adam", "grads"))
+    def swin_apply_step(state: SwinState, adam: optim.AdamState, grads,
+                        key, iteration, frame, do_adam):
+        xyz_lr = expon_lr(
+            iteration,
+            opt.position_lr_init * spatial_lr_scale,
+            opt.position_lr_final * spatial_lr_scale,
+            lr_delay_mult=opt.position_lr_delay_mult,
+            max_steps=opt.position_lr_max_steps)
+        lrs = {
+            "xyz": xyz_lr,
+            "f_dc": opt.feature_lr,
+            "f_rest": opt.feature_lr / 20.0,
+            "opacity": opt.opacity_lr,
+            "scaling": opt.scaling_lr,
+            "rotation": opt.rotation_lr,
+            "rigid_v": opt.rigid_v_lr,
+            "rigid_rotvec": opt.rigid_rotvec_lr,
+            "rigid_rotcen": opt.rigid_rotcen_lr,
+        }
+        stepped, stepped_adam = optim.step(state.params(), grads, adam, lrs)
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(do_adam, x, y), a, b)
+        new_params = sel(stepped, state.params())
+        new_adam = optim.AdamState(
+            mu=sel(stepped_adam.mu, adam.mu),
+            nu=sel(stepped_adam.nu, adam.nu),
+            count=jnp.where(do_adam, stepped_adam.count, adam.count))
+        new_state = state.replace_params(new_params)
+        new_state = swin.inject_noise_active(new_state, key, opt.noise_lr,
+                                             xyz_lr, frame)
+        return new_state, new_adam
+
+    return swin_apply_step
+
+
 def make_swin_densify_step(cap_max: int, window_size: int):
     @functools.partial(jax.jit, static_argnames=("genesis",),
                        donate_argnames=("state", "adam"))

@@ -167,6 +167,17 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
             mesh_ps = make_mesh(n_ps, axis_name="ps")
             print(f"P-sharded (Gaussian-axis) training over {n_ps} devices")
 
+    replay = None
+    if getattr(args, "replay_rng", None):
+        from gsplat_tpu.train.replay import ReplaySchedule
+
+        assert n_dp == 1 and n_ps == 1, (
+            "--replay_rng replays a single-device reference schedule")
+        replay = ReplaySchedule(args.replay_rng, capacity)
+        print(f"replaying recorded RNG schedule from {args.replay_rng} "
+              f"({replay.iterations} iterations, "
+              f"{len(replay._densify)} densify events)")
+
     def build_steps(s):
         if n_dp > 1 and n_ps == 1:
             dp_builder = make_dp_train_step(mesh, opt, s, cameras_extent)
@@ -191,6 +202,22 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
     train_step, densify_step, eval_step = build_steps(settings)
 
+    # split grad/apply programs for densification iterations (and for RNG
+    # replay): the reference's order is backward -> densify ->
+    # optimizer.step -> noise (train_static.py:102-140) — gradients are
+    # computed on PRE-densification parameters, then applied to the
+    # mutated ones. Only used on the single-device path; the dp/pshard
+    # paths keep the fused step (densify after apply), a documented
+    # ordering deviation at densify iterations.
+    split_ok = n_dp == 1 and n_ps == 1
+    grad_step = apply_step = densify_replay_step = None
+    if split_ok:
+        grad_step = step_lib.make_grad_step(opt, settings, cameras_extent)
+        apply_step = step_lib.make_apply_step(
+            opt, cameras_extent, external_noise=replay is not None)
+        if replay is not None:
+            densify_replay_step = step_lib.make_densify_replay_step(capacity)
+
     bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background
                      else [0.0, 0.0, 0.0], jnp.float32)
     key = jax.random.PRNGKey(0)
@@ -199,6 +226,14 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
     ps_params = state.params() if n_ps > 1 else None
 
     profile_range = getattr(args, "profile_iterations", None) or ()
+    replay_losses: list = []
+    cams_by_name = {}
+    if replay is not None:
+        for c in train_cams:
+            assert c.image_name not in cams_by_name, (
+                f"duplicate camera name {c.image_name}: replay needs "
+                "unique image names")
+            cams_by_name[c.image_name] = c
     viewpoint_stack: list = []
     ema_loss = 0.0
     dup_peak, dup_tightened = 0, False
@@ -265,17 +300,63 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                 ps_params, state.alive_mask, adam, k_step, camera,
                 gt_dev, step_bg, iteration, int(state.n_alive))
         else:
-            if not viewpoint_stack:
-                viewpoint_stack = list(train_cams)
-            cam_obj = viewpoint_stack.pop(randint(0, len(viewpoint_stack) - 1))
+            densify_now = (
+                opt.densify_from_iter < iteration < opt.densify_until_iter
+                and iteration % opt.densification_interval == 0)
+            if replay is not None:
+                cam_obj = cams_by_name[replay.camera_name(iteration)]
+            else:
+                if not viewpoint_stack:
+                    viewpoint_stack = list(train_cams)
+                cam_obj = viewpoint_stack.pop(
+                    randint(0, len(viewpoint_stack) - 1))
             camera, gt = cam_obj.load()
-            state, adam, metrics = train_step(
-                state, adam, k_step, camera,
-                jnp.asarray(np.ascontiguousarray(gt.transpose(2, 0, 1))),
-                step_bg, jnp.asarray(iteration, jnp.float32), sh_degree)
+            gt_dev = jnp.asarray(np.ascontiguousarray(
+                gt.transpose(2, 0, 1)))
+            it_f = jnp.asarray(iteration, jnp.float32)
+            if replay is not None or densify_now:
+                # reference interleave: backward -> densify -> Adam -> noise
+                grads, metrics = grad_step(state, camera, gt_dev, step_bg,
+                                           sh_degree)
+                surgery = False
+                if densify_now:
+                    key, kd = jax.random.split(key)
+                    if replay is not None and replay.has_densify(iteration):
+                        dm, rt, at_, target = replay.densify_arrays(
+                            iteration, state=state)
+                        surgery = bool(dm.any()) or target > int(
+                            state.n_alive)
+                        state, adam = densify_replay_step(
+                            state, adam, jnp.asarray(dm), jnp.asarray(rt),
+                            jnp.asarray(at_),
+                            jnp.asarray(target, jnp.int32))
+                    else:
+                        # did relocation or growth actually touch the
+                        # model? (decides the reference grad=None Adam
+                        # skip, see make_apply_step)
+                        n = int(state.n_alive)
+                        tgt = min(capacity, int(1.05 * n))
+                        dead_any = bool(jnp.any(
+                            state.alive_mask
+                            & (state.get_opacity()[:, 0] <= 0.005)))
+                        surgery = dead_any or tgt > n
+                        state, adam = densify_step(state, adam, kd)
+                key, kn = jax.random.split(key)
+                extra = ((jnp.asarray(replay.noise(iteration)),)
+                         if replay is not None else ())
+                state, adam = apply_step(state, adam, grads, kn, it_f,
+                                         jnp.asarray(not surgery), *extra)
+            else:
+                state, adam, metrics = train_step(
+                    state, adam, k_step, camera, gt_dev, step_bg, it_f,
+                    sh_degree)
+            if replay is not None:
+                replay_losses.append((iteration, float(metrics.l1),
+                                      float(metrics.loss)))
         last_metrics = metrics
 
-        if (opt.densify_from_iter < iteration < opt.densify_until_iter
+        if (not split_ok
+                and opt.densify_from_iter < iteration < opt.densify_until_iter
                 and iteration % opt.densification_interval == 0):
             key, kd = jax.random.split(key)
             if n_ps > 1:
@@ -317,6 +398,9 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
                 settings = dataclasses.replace(settings, k_dup=new_k)
                 print(f"  duplicate budget -> {new_k} (recompiling)")
                 train_step, densify_step, eval_step = build_steps(settings)
+                if split_ok:
+                    grad_step = step_lib.make_grad_step(opt, settings,
+                                                        cameras_extent)
         if iteration % 100 == 0:
             dt = (time.time() - t_start) / min(iteration - first_iter, 100)
             t_start = time.time()
@@ -349,6 +433,16 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
             ckpt_lib.save(os.path.join(model_cfg.model_path,
                                        f"chkpnt{iteration}.npz"),
                           state, adam, iteration)
+
+    if replay is not None:
+        import json
+
+        out = os.path.join(model_cfg.model_path, "parity_ours.json")
+        with open(out, "w") as f:
+            json.dump({"losses": replay_losses,
+                       "densify_diagnostics": replay.diagnostics,
+                       "iterations": opt.iterations}, f)
+        print(f"wrote {out} ({len(replay_losses)} loss samples)")
 
     return {"state": state, "adam": adam,
             "final_loss": float(last_metrics.loss) if last_metrics else None}
@@ -441,6 +535,11 @@ def main(argv=None):
     parser.add_argument("--profile_iterations", nargs=2, type=int,
                         default=None,
                         help="capture a jax.profiler trace over [a, b)")
+    parser.add_argument("--replay_rng", type=str, default=None,
+                        help="replay a recorded reference-loop RNG "
+                             "schedule (camera order, densify draws, "
+                             "noise) for exec-parity; see "
+                             "gsplat_tpu/train/replay.py")
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="train over N devices, one camera each per "
                              "step (gradients psum-averaged over the mesh)")

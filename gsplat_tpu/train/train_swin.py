@@ -69,7 +69,8 @@ class StepBox:
 
     def set_settings(self, settings):
         self.settings = settings
-        self.train, self.densify, self.eval = self._build(settings)
+        (self.train, self.densify, self.eval,
+         self.grad, self.apply) = self._build(settings)
 
     def maybe_grow(self, num_dup: int, chunk: int) -> bool:
         """Grow the budget on (near-)overflow; True if steps were rebuilt."""
@@ -145,23 +146,54 @@ def train_slide_window(state, adam, scene: DynamicScene,
                 random.shuffle(viewpoint_stack)
             cam_obj = viewpoint_stack.pop()
             camera, gt = cam_obj.load()
-            state, adam, m = box.train(
-                state, adam, k_step, camera,
-                jnp.asarray(np.ascontiguousarray(gt.transpose(2, 0, 1))),
-                bg, jnp.asarray(it, jnp.float32),
-                jnp.asarray(float(cam_obj.frame)), sh_degree,
-                nbr_indices=nbr_indices)
+            gt_dev = jnp.asarray(np.ascontiguousarray(
+                gt.transpose(2, 0, 1)))
+            it_f = jnp.asarray(it, jnp.float32)
+            frame_f = jnp.asarray(float(cam_obj.frame))
+            densify_now = (
+                (opt.densify_from_iter < it < opt.densify_until_iter
+                 and it % opt.densification_interval == 0)
+                or (not genesis and 0 < it < opt.densify_until_iter
+                    and it % opt.densification_interval == 0))
+            if densify_now and not enable_arap:
+                # reference interleave: backward -> densify ->
+                # optimizer.step (train_swin.py:203-242). The Adam update
+                # is ALWAYS skipped here: relocate_gs_immuture recreates
+                # every nn.Parameter with grad=None unconditionally
+                # (gaussian_model.py:957), so the reference step() no-ops
+                # (see swin_step.make_swin_grad_step).
+                grads, m = box.grad(state, camera, gt_dev, bg, frame_f,
+                                    sh_degree)
+                key, kd = jax.random.split(key)
+                state, adam = box.densify(
+                    state, adam, kd,
+                    jnp.asarray(float(swin_mgr.frame_start)), genesis)
+                key, kn = jax.random.split(key)
+                state, adam = box.apply(state, adam, grads, kn, it_f,
+                                        frame_f, jnp.asarray(False))
+            else:
+                state, adam, m = box.train(
+                    state, adam, k_step, camera, gt_dev, bg, it_f,
+                    frame_f, sh_degree, nbr_indices=nbr_indices)
+                if densify_now:
+                    # arap mode keeps the fused step (grad split has no
+                    # arap term; the reference ships ARAP gated off)
+                    key, kd = jax.random.split(key)
+                    state, adam = box.densify(
+                        state, adam, kd,
+                        jnp.asarray(float(swin_mgr.frame_start)), genesis)
 
-        densify_now = (
-            (opt.densify_from_iter < it < opt.densify_until_iter
-             and it % opt.densification_interval == 0)
-            or (not genesis and 0 < it < opt.densify_until_iter
-                and it % opt.densification_interval == 0))
-        if densify_now:
-            key, kd = jax.random.split(key)
-            state, adam = box.densify(state, adam, kd,
-                                      jnp.asarray(float(swin_mgr.frame_start)),
-                                      genesis)
+        if n_dp > 1:
+            densify_now = (
+                (opt.densify_from_iter < it < opt.densify_until_iter
+                 and it % opt.densification_interval == 0)
+                or (not genesis and 0 < it < opt.densify_until_iter
+                    and it % opt.densification_interval == 0))
+            if densify_now:
+                key, kd = jax.random.split(key)
+                state, adam = box.densify(
+                    state, adam, kd,
+                    jnp.asarray(float(swin_mgr.frame_start)), genesis)
 
         if it % 10 == 0:
             # same cadence as the static trainer: never train long on
@@ -321,11 +353,14 @@ def training(model_cfg: ModelConfig, opt: OptimizationConfig,
 
             step = make_dp_swin_train_step(make_mesh(n_dp), opt, s,
                                            scene.cameras_extent)
+            grad = apply = None  # dp keeps the fused step (see loop)
         else:
             step = sstep.make_swin_train_step(opt, s, scene.cameras_extent,
                                               arap_weights=arap_w)
+            grad = sstep.make_swin_grad_step(opt, s, scene.cameras_extent)
+            apply = sstep.make_swin_apply_step(opt, scene.cameras_extent)
         return (step, sstep.make_swin_densify_step(capacity, args.swin_size),
-                sstep.make_swin_eval_step(s))
+                sstep.make_swin_eval_step(s), grad, apply)
 
     box = StepBox(build_steps, settings)
     try:

@@ -8,6 +8,7 @@ best shape. Not part of the test suite; run manually on the TPU:
 """
 
 import dataclasses
+import os
 import sys
 import time
 
@@ -109,7 +110,11 @@ def breakdown(mstate, cam, s, sh, bg, w, h):
 def main():
     argv = sys.argv[1:]
     do_breakdown = "--breakdown" in argv
-    argv = [a for a in argv if a != "--breakdown"]
+    do_trace = "--trace" in argv
+    positions = "clustered" if "--clustered" in argv else "uniform"
+    random_cloud = "--random_cloud" in argv
+    argv = [a for a in argv if a not in ("--breakdown", "--trace",
+                                         "--clustered", "--random_cloud")]
     shapes = [(64, 16), (64, 32), (128, 32)]
     if argv:
         # tx,ty[,chunk]
@@ -127,10 +132,19 @@ def main():
     mgts = [render_gt(c) for c in mcams]
     jax.block_until_ready(mgts[-1])
 
-    mpts = rng.uniform(-1, 1, (mp, 3)).astype(np.float32)
-    mstate = gaussians.create_from_points(
-        mpts, rng.uniform(0, 1, (mp, 3)).astype(np.float32),
-        capacity=mp, max_sh_degree=sh)
+    if random_cloud:
+        mpts = rng.uniform(-1, 1, (mp, 3)).astype(np.float32)
+        mstate = gaussians.create_from_points(
+            mpts, rng.uniform(0, 1, (mp, 3)).astype(np.float32),
+            capacity=mp, max_sh_degree=sh)
+        print("workload: uniform random cloud (legacy round-3 config)")
+    else:
+        # config of record since round 4: trained-statistics workload
+        from bench import trained_stats_state
+
+        mstate, m_src = trained_stats_state(mp, sh, rng,
+                                            positions=positions)
+        print(f"workload: {m_src}")
     madam0 = optim.init(mstate.params())
     opt = OptimizationConfig()
     keys = jax.random.split(jax.random.PRNGKey(0), 64)
@@ -164,6 +178,27 @@ def main():
               f"{ms:7.1f} ms/it  loss={float(m.loss):.5f}", flush=True)
         if do_breakdown:
             breakdown(mstate, mcams[0], s, sh, bg, mw, mh)
+        if do_trace:
+            # per-op device trace of the FULL fused step (round-4 verdict
+            # ask #2: name every op >= 1 ms on the trained workload)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from trace_ops import trace_op_breakdown
+
+            # carry (state, adam) through donation so the trace contains
+            # ONLY the step's own ops (a per-call host copy of the 236 MB
+            # param dict would dominate the trace)
+            box = [jax.tree.map(jnp.copy, mstate),
+                   jax.tree.map(jnp.copy, madam0), 20]
+
+            def one_step():
+                st2, ad2, i = box[0], box[1], box[2]
+                st2, ad2, m2 = step(st2, ad2, keys[i % 60], mcams[i % 4],
+                                    mgts[i % 4], bg,
+                                    jnp.asarray(float(i)), sh)
+                box[0], box[1], box[2] = st2, ad2, i + 1
+                return m2.loss
+
+            trace_op_breakdown(one_step, n=8, top=60)
 
 
 if __name__ == "__main__":

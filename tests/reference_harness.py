@@ -385,6 +385,126 @@ def install_misc_shims():
     sys.modules.setdefault("open3d", types.ModuleType("open3d"))
 
 
+class RngRecorder:
+    """Records the reference training loop's complete stochastic schedule
+    while it runs through the shims (round-4 verdict ask #1): per-iteration
+    camera pick (train_static.py:74-79), raw noise tensors (:138), and per
+    densification call the dead mask + multinomial template draws
+    (gaussian_model_static.py:412-492, relocate_gs/add_new_gs). The dump is
+    replayed verbatim by ``gsplat_tpu.train.train_static --replay_rng`` so
+    the two loops differ only by float sources.
+    """
+
+    def __init__(self, get_iter):
+        self.get_iter = get_iter  # callable -> current iteration
+        self.cameras = []         # image_name per iteration, in order
+        self.noise = []           # (iteration, [P,3] f32) per iteration
+        self.densify = []         # dicts, relocate/add alternating
+        self._shadow = []         # image_names mirroring viewpoint_stack
+        self._last_sample = None
+
+    def install(self, ref_train):
+        import torch
+
+        import scene.gaussian_model_static as ref_gm
+        from utils.tempo_utils import SliWinManager
+
+        rec = self
+
+        # -- camera picks: shadow the viewpoint stack ----------------------
+        orig_fetch = SliWinManager.fetch_cams
+
+        def fetch_rec(mgr, fetcher):
+            cams = orig_fetch(mgr, fetcher)
+            rec._shadow = [c.image_name for c in cams]
+            return cams
+
+        SliWinManager.fetch_cams = fetch_rec
+
+        orig_randint = ref_train.randint
+
+        def randint_rec(a, b):
+            # train_static.py's only randint use is the camera pop (:77,79)
+            i = orig_randint(a, b)
+            rec.cameras.append(rec._shadow.pop(i))
+            return i
+
+        ref_train.randint = randint_rec
+
+        # -- noise draws: record the RAW standard normal -------------------
+        orig_randn_like = torch.randn_like
+
+        def randn_rec(t, **kw):
+            n = orig_randn_like(t, **kw)
+            rec.noise.append((rec.get_iter(),
+                              np.asarray(n.detach().cpu(), np.float32)))
+            return n
+
+        torch.randn_like = randn_rec
+
+        # -- densification draws -------------------------------------------
+        orig_sample = ref_gm.GaussianModel._sample_alives
+        orig_reloc = ref_gm.GaussianModel.relocate_gs
+        orig_add = ref_gm.GaussianModel.add_new_gs
+
+        def sample_rec(model, probs, num, alive_indices=None):
+            idxs, ratio = orig_sample(model, probs, num,
+                                      alive_indices=alive_indices)
+            rec._last_sample = np.asarray(idxs.detach().cpu(), np.int64)
+            return idxs, ratio
+
+        def reloc_rec(model, dead_mask=None):
+            rec._last_sample = None
+            out = orig_reloc(model, dead_mask=dead_mask)
+            rec.densify.append({
+                "kind": "relocate", "iter": rec.get_iter(),
+                "dead": np.asarray(dead_mask.detach().cpu(), np.bool_),
+                "templates": rec._last_sample})
+            return out
+
+        def add_rec(model, cap_max):
+            p_before = int(model._opacity.shape[0])
+            rec._last_sample = None
+            out = orig_add(model, cap_max)
+            rec.densify.append({
+                "kind": "add", "iter": rec.get_iter(),
+                "p_before": p_before,
+                "templates": rec._last_sample})
+            return out
+
+        ref_gm.GaussianModel._sample_alives = sample_rec
+        ref_gm.GaussianModel.relocate_gs = reloc_rec
+        ref_gm.GaussianModel.add_new_gs = add_rec
+        return self
+
+    def save(self, path):
+        out = {"camera_names": np.asarray(self.cameras)}
+        for it, arr in self.noise:
+            out[f"noise_{it:05d}"] = arr
+        # group alternating relocate/add events into per-iteration entries
+        j = 0
+        i = 0
+        while i < len(self.densify):
+            ev = self.densify[i]
+            assert ev["kind"] == "relocate", (
+                f"densify event stream out of order at {i}: {ev['kind']}")
+            nxt = self.densify[i + 1]
+            assert nxt["kind"] == "add" and nxt["iter"] == ev["iter"]
+            out[f"densify_iter_{j}"] = np.int64(ev["iter"])
+            out[f"dead_{j}"] = ev["dead"]
+            out[f"reloc_t_{j}"] = (ev["templates"]
+                                   if ev["templates"] is not None
+                                   else np.zeros(0, np.int64))
+            out[f"add_p_{j}"] = np.int64(nxt["p_before"])
+            out[f"add_t_{j}"] = (nxt["templates"]
+                                 if nxt["templates"] is not None
+                                 else np.zeros(0, np.int64))
+            i += 2
+            j += 1
+        np.savez_compressed(path, **out)
+        return j
+
+
 def patch_bitrotted_scene_methods():
     """The reference's static trainer calls DynamicScene.clearAll()/
     clearAllTest(), which the class does not define (bit-rot, SURVEY.md §7

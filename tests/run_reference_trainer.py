@@ -42,6 +42,11 @@ def main(argv):
         i = argv.index("--shim_k_dup")
         k_dup = int(argv[i + 1])
         del argv[i:i + 2]
+    record_rng = None
+    if "--record_rng" in argv:
+        i = argv.index("--record_rng")
+        record_rng = argv[i + 1]
+        del argv[i:i + 2]
     rh.install_extension_shims(cap=cap, k_dup=k_dup)
     rh.install_misc_shims()
 
@@ -69,6 +74,15 @@ def main(argv):
                            renderArgs, args, swin_mgr)
 
     ref_train.training_report = recording_report
+
+    recorder = None
+    if record_rng:
+        # densify/noise at iteration i run AFTER training_report(i)
+        # (train_static.py:116-140), so the last recorded loss iteration
+        # IS the current iteration
+        recorder = rh.RngRecorder(
+            get_iter=lambda: losses[-1][0] if losses else 0)
+        recorder.install(ref_train)
 
     # --- mirror the reference __main__ (train_static.py:212-240) ---
     from argparse import ArgumentParser
@@ -110,6 +124,12 @@ def main(argv):
         json.dump({"losses": losses, "iterations": args.iterations,
                    "cap_max": args.cap_max}, f)
     print(f"wrote {out} ({len(losses)} loss samples)")
+
+    if recorder is not None:
+        n_densify = recorder.save(record_rng)
+        print(f"wrote {record_rng} ({len(recorder.cameras)} camera picks, "
+              f"{len(recorder.noise)} noise draws, "
+              f"{n_densify} densify events)")
 
 
 def run_swin(argv):

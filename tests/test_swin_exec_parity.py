@@ -14,11 +14,17 @@ fixture/schedule; both resulting streamable.dat files are loaded by OUR
 stream reader and rendered by OUR renderer against the same fixture GT —
 a PSNR gap isolates window-machinery semantics.
 
-Densification is pinned OFF in both runs: the reference's decay_genesis
-asserts P %% max_lifespan == 0 (gaussian_model.py:443), which 5%%-growth
-from the fixture's 100 sfm points violates; MCMC relocation/growth
-semantics are already proven by the static exec-parity test
-(test_trainer_exec_parity.py) and the transliteration oracle.
+Densification is ON in both runs (round-4 verdict ask #4): the schedule is
+chosen so the reference's decay_genesis assert P %% max_lifespan == 0
+(gaussian_model.py:443-446) holds — from the fixture's 100 sfm points,
+exactly two genesis growth events (densify at iters 100 and 200 of 300)
+give 100 -> 105 -> 110, even for swin_size 2 — so the frame-aware
+add_new_gs (gaussian_model.py:854-909) and per-birth-frame
+relocate_gs_immuture (:911-962) run under the reference's own
+train_swin.py. Noise is pinned to 0 in BOTH loops: the reference's swin
+noise is a silent no-op anyway (train_swin.py:261 mutates an
+advanced-indexing COPY of _xyz), and pinning ours isolates the window +
+densify machinery from RNG-stream noise.
 """
 
 import os
@@ -36,8 +42,9 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
 SCHEDULE = ["--iterations", "150", "--genesis_iterations", "300",
             "--cap_max", "320", "--init_pts", "160", "--init_type", "sfm",
             "--max_frame", "4", "--swin_size", "2", "--deform",
-            "--densify_from_iter", "99999", "--densify_until_iter",
-            "100000"]
+            "--noise_lr", "0",
+            "--densify_from_iter", "50", "--densify_until_iter", "250",
+            "--densification_interval", "100"]
 
 
 def _psnr(a, b):
@@ -91,6 +98,12 @@ def test_reference_swin_loop_through_shims_matches_ours(tmp_path):
         f"reference swin trainer failed:\n{proc.stdout[-3000:]}\n"
         f"{proc.stderr[-3000:]}")
     assert os.path.exists(os.path.join(ref_out, "streamable.dat"))
+    # the frame-aware growth path must have actually executed in the
+    # reference loop: two genesis growth events, 100 -> 105 -> 110
+    assert "Adding 5 new gaussians, total 105 now" in proc.stdout, (
+        "reference add_new_gs did not run (densify schedule broken?)\n"
+        + proc.stdout[-2000:])
+    assert "Adding 5 new gaussians, total 110 now" in proc.stdout
 
     from gsplat_tpu.train.train_swin import main as swin_main
 

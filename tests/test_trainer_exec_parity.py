@@ -138,3 +138,100 @@ def test_reference_trainer_through_shims_matches_our_trainer(tmp_path):
     assert abs(psnr_ref - psnr_ours) <= 1.0, (
         f"trainer-loop divergence: reference-loop {psnr_ref:.2f} dB vs "
         f"our-loop {psnr_ours:.2f} dB")
+
+
+def test_rng_pinned_replay_parity(tmp_path):
+    """RNG-pinned exec-parity (round-4 verdict ask #1): record the
+    reference loop's complete stochastic schedule (camera order, relocation
+    dead-masks + multinomial template draws, raw noise tensors) while it
+    runs through the shims, then REPLAY it verbatim into our trainer via
+    --replay_rng. With identical stochasticity the two loops differ only by
+    float sources (both pipelines call the same rasterizer kernels; the
+    loss/Adam/schedule arithmetic runs in torch vs XLA), so the gates can
+    be tight: per-iteration loss trajectory agreement and <= 0.1 dB final
+    held-out PSNR — replacing the 1.0 dB seed-noise margin of the unpinned
+    test above."""
+    ref_out = str(tmp_path / "ref")
+    ours_out = str(tmp_path / "ours")
+    os.makedirs(ref_out)
+    rng_path = os.path.join(ref_out, "rng_schedule.npz")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__),
+                      "run_reference_trainer.py"),
+         "-s", FIXTURE, "-m", ref_out,
+         "--shim_cap", str(CAP), "--shim_k_dup", str(K_DUP),
+         "--record_rng", rng_path,
+         "--test_iterations", str(ITERS)] + SCHEDULE,
+        env=env, capture_output=True, text=True, timeout=3000)
+    assert proc.returncode == 0, (
+        f"reference trainer failed:\n{proc.stdout[-3000:]}\n"
+        f"{proc.stderr[-3000:]}")
+    assert os.path.exists(rng_path), "recorder produced no schedule file"
+
+    from gsplat_tpu.train.train_static import main as train_main
+
+    train_main(["-s", FIXTURE, "-m", ours_out, "--frame", "0",
+                "--test_iterations", "-1", "--save_iterations", "-1",
+                "--dup_budget", str(K_DUP),
+                # match the shim's rasterizer geometry exactly
+                # (reference_harness._make_render_fns: 16x16 tiles)
+                "--tile_x", "16", "--tile_y", "16",
+                "--replay_rng", rng_path] + SCHEDULE)
+
+    ref_traj = json.load(open(os.path.join(ref_out, "parity_ref.json")))
+    ours_traj = json.load(open(os.path.join(ours_out, "parity_ours.json")))
+    ref_losses = {it: tot for it, _, tot in ref_traj["losses"]}
+    ours_losses = {it: tot for it, _, tot in ours_traj["losses"]}
+    assert set(ref_losses) == set(ours_losses)
+
+    # the replayed schedule must stay self-consistent with our state:
+    # identical alive counts at every densification, and (near-)identical
+    # dead sets — the drift meter for trainer-semantics agreement
+    diags = ours_traj["densify_diagnostics"]
+    assert diags, "replay recorded no densification diagnostics"
+    for d in diags:
+        assert d["p_recorded"] == d["p_ours"], (
+            f"alive-count drift at iter {d['iteration']}: "
+            f"ref {d['p_recorded']} vs ours {d['p_ours']}")
+    max_hamming = max(d["dead_hamming"] for d in diags)
+
+    rels = []
+    for it in sorted(ref_losses):
+        r, o = ref_losses[it], ours_losses[it]
+        rels.append(abs(r - o) / max(abs(r), 1e-12))
+    rels = np.asarray(rels)
+    # float drift compounds through the optimization; report the full
+    # profile and gate head/median/final (measured on CPU: see RESULTS.md
+    # round-5 exec-parity section)
+    head = float(np.max(rels[:20]))
+    med = float(np.median(rels))
+    print(f"rng-pinned loss agreement: head(max first 20)={head:.2e} "
+          f"median={med:.2e} final={rels[-1]:.2e} max={rels.max():.2e} "
+          f"dead-mask hamming max={max_hamming}")
+
+    ref_ply = os.path.join(
+        ref_out, f"point_cloud/iteration_{ITERS}/point_cloud.ply")
+    ours_ply = os.path.join(
+        ours_out, f"point_cloud/iteration_{ITERS}/point_cloud.ply")
+    psnr_ref, _ = _eval_ply(ref_ply)
+    psnr_ours, _ = _eval_ply(ours_ply)
+    print(f"rng-pinned exec-parity: reference-loop {psnr_ref:.2f} dB, "
+          f"our-loop {psnr_ours:.2f} dB, gap {abs(psnr_ref-psnr_ours):.3f}")
+
+    # gates calibrated from the measured CPU profile (round 5): head(20)
+    # 2.5e-6, median 3.8e-6, max 4.1e-4 (float drift compounding through
+    # 250 chaotic iterations), hamming 0, final gap 0.048 dB. Margins
+    # ~25x on the loss stats, 2x on the PSNR north star.
+    assert head <= 1e-4, f"early loss trajectory diverged: {head:.2e}"
+    assert med <= 1e-4, f"median loss divergence {med:.2e}"
+    assert rels.max() <= 2e-3, f"max loss divergence {rels.max():.2e}"
+    assert max_hamming <= 2, f"dead-mask drift: hamming {max_hamming}"
+    assert abs(psnr_ref - psnr_ours) <= 0.1, (
+        f"RNG-pinned trainer divergence: {psnr_ref:.2f} vs "
+        f"{psnr_ours:.2f} dB — exceeds the 0.1 dB north star")
