@@ -217,11 +217,16 @@ def hw_parity_stage(on_cpu: bool):
         f"param_delta_rel {grad_rel:.2e}")
     # Train path is f32 with hi/lo bf16-split dots (should be very close);
     # inference streams features as bf16 (half-ULP-of-8-bit class).
-    assert p_train >= 55.0, f"hw train-path PSNR {p_train:.2f} < 55 dB"
-    assert p_infer >= 45.0, f"hw inference-path PSNR {p_infer:.2f} < 45 dB"
-    assert loss_rel <= 5e-3, f"hw train-step loss off by {loss_rel:.2e}"
-    assert dup_rel <= 2e-3, f"hw num_dup off by {dup_rel:.2e}"
-    assert grad_rel <= 5e-2, f"hw param delta off by {grad_rel:.2e}"
+    # Gates sit 10-12 dB under measured (round-4 verdict ask #7): across 3
+    # back-to-back hardware runs (2026-08-20) the stage is bit-stable —
+    # train 96.7 dB, infer 74.4 dB, loss_rel 1.11e-6, param_delta 1.8e-2,
+    # dup EXACT, zero run-to-run spread — so the margin is headroom for a
+    # compiler change, not for noise.
+    assert p_train >= 85.0, f"hw train-path PSNR {p_train:.2f} < 85 dB"
+    assert p_infer >= 62.0, f"hw inference-path PSNR {p_infer:.2f} < 62 dB"
+    assert loss_rel <= 1e-4, f"hw train-step loss off by {loss_rel:.2e}"
+    assert dup_rel <= 1e-3, f"hw num_dup off by {dup_rel:.2e}"
+    assert grad_rel <= 3e-2, f"hw param delta off by {grad_rel:.2e}"
     return {"hw_parity_psnr": round(float(min(p_train, p_infer)), 1),
             "hw_parity_train_psnr": round(float(p_train), 1),
             "hw_parity_infer_psnr": round(float(p_infer), 1),

@@ -120,10 +120,13 @@ def test_reference_swin_loop_through_shims_matches_ours(tmp_path):
     assert psnr_ref >= 13.0, f"reference-loop stream degenerate: {psnr_ref}"
     assert psnr_ours >= 13.0, f"our-loop stream degenerate: {psnr_ours}"
     # window-machinery agreement; both loops share the renderer, so a
-    # real evolve/mature/deform divergence moves this by several dB.
-    # Calibrated (round 4, CPU): reference-loop 19.37 dB vs our-loop
-    # 20.09 dB (0.72 dB gap; per-frame 18.0/18.6/20.3/20.6 vs
-    # 18.0/18.9/21.4/22.0) — different camera/noise RNG streams.
+    # real evolve/mature/deform/densify divergence moves this by several
+    # dB. Calibrated (round 5, CPU, densify ON + noise pinned 0):
+    # reference-loop 19.34 dB vs our-loop 20.05 dB (0.71 dB gap;
+    # per-frame 17.9/18.5/20.3/20.6 vs 18.1/19.0/21.3/21.9). The
+    # remaining float source is the camera-draw RNG stream (python
+    # random in the reference vs ours), which at 150 iters/window on a
+    # 4-frame fixture dominates; the 2.0 dB gate carries that margin.
     assert abs(psnr_ref - psnr_ours) <= 2.0, (
         f"swin-loop divergence: reference {psnr_ref:.2f} dB vs ours "
         f"{psnr_ours:.2f} dB")

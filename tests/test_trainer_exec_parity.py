@@ -235,3 +235,78 @@ def test_rng_pinned_replay_parity(tmp_path):
     assert abs(psnr_ref - psnr_ours) <= 0.1, (
         f"RNG-pinned trainer divergence: {psnr_ref:.2f} vs "
         f"{psnr_ours:.2f} dB — exceeds the 0.1 dB north star")
+
+
+def test_rng_pinned_replay_exercises_relocation(tmp_path):
+    """RNG-pinned parity variant that forces the RELOCATION branch: the
+    default schedule never produces dead rows on this fixture (opacity
+    stays above the 0.005 death threshold for 250 iters even at reg 0.05),
+    so the main pinned test proves growth but not dead->template teleport.
+    With densification every 25 iters from iter 10 and opacity_reg 0.1,
+    repeated template weakening (o -> 1-(1-o)^(1/N)) plus the reg drives
+    rows below 0.005 (probed: 6 dead at iter 125, 2 at iter 225), so the
+    recorded schedule contains real relocations (dead mask + template
+    draws) and the replay must reproduce them exactly."""
+    ref_out = str(tmp_path / "ref")
+    ours_out = str(tmp_path / "ours")
+    os.makedirs(ref_out)
+    rng_path = os.path.join(ref_out, "rng_schedule.npz")
+    schedule = ["--iterations", str(ITERS), "--cap_max", str(CAP),
+                "--init_pts", "160", "--init_type", "sfm",
+                "--max_frame", "1", "--opacity_reg", "0.1",
+                "--densify_from_iter", "10", "--densify_until_iter", "240",
+                "--densification_interval", "25"]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__),
+                      "run_reference_trainer.py"),
+         "-s", FIXTURE, "-m", ref_out,
+         "--shim_cap", str(CAP), "--shim_k_dup", str(K_DUP),
+         "--record_rng", rng_path,
+         "--test_iterations", str(ITERS)] + schedule,
+        env=env, capture_output=True, text=True, timeout=3000)
+    assert proc.returncode == 0, (
+        f"reference trainer failed:\n{proc.stdout[-3000:]}\n"
+        f"{proc.stderr[-3000:]}")
+
+    # the recorded schedule must actually contain relocations
+    z = np.load(rng_path)
+    dead_total = 0
+    j = 0
+    while f"densify_iter_{j}" in z:
+        dead_total += int(z[f"dead_{j}"].sum())
+        j += 1
+    assert dead_total > 0, (
+        "schedule produced no dead rows — relocation not exercised "
+        "(fixture drifted?)")
+
+    from gsplat_tpu.train.train_static import main as train_main
+
+    train_main(["-s", FIXTURE, "-m", ours_out, "--frame", "0",
+                "--test_iterations", "-1", "--save_iterations", "-1",
+                "--dup_budget", str(K_DUP),
+                "--tile_x", "16", "--tile_y", "16",
+                "--replay_rng", rng_path] + schedule)
+
+    ref_traj = json.load(open(os.path.join(ref_out, "parity_ref.json")))
+    ours_traj = json.load(open(os.path.join(ours_out, "parity_ours.json")))
+    ref_losses = {it: tot for it, _, tot in ref_traj["losses"]}
+    ours_losses = {it: tot for it, _, tot in ours_traj["losses"]}
+    diags = ours_traj["densify_diagnostics"]
+    max_hamming = max(d["dead_hamming"] for d in diags)
+    for d in diags:
+        assert d["p_recorded"] == d["p_ours"], d
+    rels = np.asarray([abs(ref_losses[it] - ours_losses[it])
+                       / max(abs(ref_losses[it]), 1e-12)
+                       for it in sorted(ref_losses)])
+    print(f"relocation-pinned: {dead_total} dead rows relocated across "
+          f"{j} densify events; loss rel median={np.median(rels):.2e} "
+          f"max={rels.max():.2e}; hamming max={max_hamming}")
+    assert max_hamming <= 2, f"dead-mask drift: hamming {max_hamming}"
+    assert np.median(rels) <= 1e-4, f"median loss drift {np.median(rels)}"
+    assert rels.max() <= 5e-3, f"max loss drift {rels.max():.2e}"
