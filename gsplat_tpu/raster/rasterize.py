@@ -111,6 +111,33 @@ _SEGSUM_MIN_SLOTS = 1 << 20
 _SCATTER_MAX_ROWS = 250_000
 
 
+_SEGSUM_BF16_MIN_SLOTS = 1 << 21  # bf16-pack sort payloads above this K
+
+
+def _pack_bf16_pairs(cols):
+    """[N, K] f32 -> tuple of ceil(N/2) u32 arrays, each carrying two
+    bf16-rounded columns (hi word = even column)."""
+    n = cols.shape[0]
+    b = cols.astype(jnp.bfloat16)
+    u16 = [lax.bitcast_convert_type(b[i], jnp.uint16).astype(jnp.uint32)
+           for i in range(n)]
+    if n % 2:
+        u16.append(jnp.zeros(cols.shape[1:], jnp.uint32))
+    return tuple((u16[i] << 16) | u16[i + 1] for i in range(0, len(u16), 2))
+
+
+def _unpack_bf16_pairs(words, n_cols: int):
+    """Inverse of _pack_bf16_pairs (f32 outputs, bf16-valued)."""
+    cols = []
+    for w in words:
+        cols.append(lax.bitcast_convert_type(
+            (w >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32))
+        cols.append(lax.bitcast_convert_type(
+            (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32))
+    return tuple(cols[:n_cols])
+
+
 def _segsum_reduce(dfeat, gid, seg_bounds, p1: int, interpret: bool):
     """dtable[r] = sum of dfeat columns with gid == r, via ONE sort
     carrying the gradient rows as payloads + fused Kahan cumsum + one
@@ -118,19 +145,37 @@ def _segsum_reduce(dfeat, gid, seg_bounds, p1: int, interpret: bool):
 
     The gradient rows ride the gid sort directly (~1 ms/payload of sort
     time at K=1.8M on v5e) instead of sorting an iota and row-gathering
-    dfeat.T afterwards (2.6 + 11.2 ms at the same scale). Everything
-    K-sized stays in [rows, K] layout (K on lanes): a [K, 9] array is
-    lane-padded 9 -> 128, so per-column slicing of it measured 48 ms at
-    K=2.1M. The only [*, 9]-minor arrays here are gather outputs and one
-    final diff. Segment bounds come precomputed from binning
+    dfeat.T afterwards (2.6 + 11.2 ms at the same scale; at K=4.1M the
+    [K, 9] row gather is 94 ms vs 37 for the payload sort — measured).
+    Everything K-sized stays in [rows, K] layout (K on lanes): a [K, 9]
+    array is lane-padded 9 -> 128, so per-column slicing of it measured
+    48 ms at K=2.1M. The only [*, 9]-minor arrays here are gather outputs
+    and one final diff. Segment bounds come precomputed from binning
     (``Binning.seg_bounds``): a searchsorted over the sorted gids lowered
-    to sort+scatter and measured ~27 ms/step at the 1M-cap scale."""
+    to sort+scatter and measured ~27 ms/step at the 1M-cap scale.
+
+    Above _SEGSUM_BF16_MIN_SLOTS the nine f32 payload columns ride the
+    sort as FIVE u32 words of packed bf16 pairs — 24 B/slot instead of
+    40: 37.0 -> 23.0 ms measured at K=4.13M on v5e. Deliberate precision
+    deviation at that scale only: each per-slot gradient CONTRIBUTION is
+    rounded to bf16 (rel ~2^-9) before the f32 Kahan segment sum — the
+    summed per-gaussian gradient carries ~0.1-0.4% relative noise, far
+    under the stochastic-gradient noise Adam consumes (the reference
+    accumulates f32 atomicAdd; small-scale configs and every CI gate take
+    the exact scatter/f32 path below these thresholds; the 1M densify
+    soak trains through this path with monotone PSNR as the behavioral
+    gate)."""
     from gsplat_tpu.raster.scan_kernel import multi_cumsum
 
     k = gid.shape[0]
-    sorted_all = jax.lax.sort(
-        (gid,) + tuple(dfeat[i] for i in range(dfeat.shape[0])),
-        num_keys=1)
+    n_cols = dfeat.shape[0]
+    if k >= _SEGSUM_BF16_MIN_SLOTS and not interpret:
+        out = jax.lax.sort((gid,) + _pack_bf16_pairs(dfeat), num_keys=1)
+        sorted_all = (out[0],) + _unpack_bf16_pairs(out[1:], n_cols)
+    else:
+        sorted_all = jax.lax.sort(
+            (gid,) + tuple(dfeat[i] for i in range(n_cols)),
+            num_keys=1)
     cs = multi_cumsum(list(sorted_all[1:]), interpret=interpret)
     ct = jnp.concatenate(
         [jnp.zeros((dfeat.shape[0], 1), dfeat.dtype),

@@ -458,3 +458,41 @@ def test_mark_visible_matches_frustum_cull():
                     > 0.2 for m in np.asarray(means)])
     np.testing.assert_array_equal(got, ref)
     assert (~got).sum() > 0 and got.sum() > 0
+
+
+def test_segsum_bf16_payload_pack_roundtrip():
+    """The big-K grad-reduce sort rides bf16-packed payload words
+    (rasterize._SEGSUM_BF16_MIN_SLOTS); pack->unpack must equal a plain
+    bf16 cast bit-exactly, and the packed segment sum must match the exact
+    f32 segment sum to bf16 contribution tolerance."""
+    import numpy as np
+
+    from gsplat_tpu.raster.rasterize import (_pack_bf16_pairs,
+                                             _unpack_bf16_pairs)
+
+    rng = np.random.default_rng(7)
+    # bit-exactness check on extreme-range data (denormals to 1e8)
+    x = jnp.asarray((rng.normal(size=(9, 4096))
+                     * 10.0 ** rng.uniform(-8, 8, (9, 4096))
+                     ).astype(np.float32))
+    words = _pack_bf16_pairs(x)
+    assert len(words) == 5
+    y = jnp.stack(_unpack_bf16_pairs(words, 9))
+    ref = x.astype(jnp.bfloat16).astype(jnp.float32)
+    assert bool(jnp.all(y == ref)), "pack/unpack is not a bf16 cast"
+
+    # segment-sum agreement on GRADIENT-LIKE data: per-column homogeneous
+    # scale (real dfeat columns are one gradient component each); the
+    # summed error is then bounded by the bf16 rounding of contributions
+    col_scale = 10.0 ** rng.uniform(-4, 2, (9, 1))
+    g = jnp.asarray((rng.normal(size=(9, 4096)) * col_scale
+                     ).astype(np.float32))
+    gb = jnp.stack(_unpack_bf16_pairs(_pack_bf16_pairs(g), 9))
+    gid = jnp.asarray(np.sort(rng.integers(0, 512, 4096)).astype(np.int32))
+    exact = jax.ops.segment_sum(g.T, gid, num_segments=512)
+    approx = jax.ops.segment_sum(gb.T, gid, num_segments=512)
+    # per-column relative-to-column-norm error
+    err = np.abs(np.asarray(approx - exact))
+    norm = np.abs(np.asarray(exact)).max(0, keepdims=True)
+    assert (err / norm).max() < 2e-2, (
+        f"bf16 contribution error too large: {(err / norm).max()}")
