@@ -85,7 +85,7 @@ def test_swin_stepbox_grows_and_rebuilds():
 
     def build(settings):
         builds.append(settings.k_dup)
-        return "train", "densify", "eval"
+        return "train", "densify", "eval", "grad", "apply"
 
     box = StepBox(build, RasterizeSettings(k_dup=1024, chunk=128))
     assert builds == [1024]
