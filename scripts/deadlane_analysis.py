@@ -142,15 +142,33 @@ def main():
     print(f"  fully dead (exact ellipse misses tile): "
           f"{(fracs == 0).mean():.4f}")
 
-    # --- (3): per-(chunk, 128-px granule) skippable fraction ---
+    # --- (3): per-(chunk, 128-px granule) skippable fraction, plus the
+    # SATURATION simulation: which chunks does the existing whole-tile
+    # done-exit already skip, and what would a per-granule done-skip add?
     tiles = rng.choice(gx * gy, min(args.tiles_sample, gx * gy),
                        replace=False)
     n_gran = n_pix // 128
     total_gran = 0
     dead_gran = 0
+    done_gran = 0        # granule fully saturated BEFORE the chunk
     total_chunks = 0
+    skipped_chunks = 0   # whole tile saturated before the chunk (the
+                         # current kernels' early-exit)
     pad_slots = 0
     total_slots = 0
+
+    def alpha_of(dups):
+        g = g_of_dup[dups]
+        ox = (tile_x_of[dups] * tx).astype(np.float32)
+        oy = (tile_y_of[dups] * ty).astype(np.float32)
+        dx = (ox[:, None] + px[None, :]) - xy[g, 0][:, None]
+        dy = (oy[:, None] + py[None, :]) - xy[g, 1][:, None]
+        q = (conic[g, 0][:, None] * dx * dx
+             + 2 * conic[g, 1][:, None] * dx * dy
+             + conic[g, 2][:, None] * dy * dy)
+        a = np.minimum(opa[g][:, None] * np.exp(-0.5 * q), 0.99)
+        return np.where(a < 1.0 / 255.0, 0.0, a)
+
     for t in tiles:
         dups = np.nonzero(tile_of == t)[0]
         if not len(dups):
@@ -161,18 +179,31 @@ def main():
         n_chunks = -(-len(dups) // args.chunk)
         pad_slots += n_chunks * args.chunk - len(dups)
         total_slots += n_chunks * args.chunk
+        T = np.ones(n_pix, np.float32)
         for c in range(n_chunks):
-            seg = gran_live[c * args.chunk:(c + 1) * args.chunk]
-            chunk_gran_live = seg.any(0)           # [n_gran]
+            sl = slice(c * args.chunk, (c + 1) * args.chunk)
+            done = T < 1e-4                        # before this chunk
+            total_chunks += 1
             total_gran += n_gran
-            dead_gran += int((~chunk_gran_live).sum())
-        total_chunks += n_chunks
+            if done.all():
+                skipped_chunks += 1
+                done_gran += n_gran
+                continue
+            done_gran += int(done.reshape(n_gran, 128).all(1).sum())
+            seg = gran_live[sl]
+            dead_gran += int((~seg.any(0)).sum())
+            a = alpha_of(dups[sl])                 # [<=chunk, n_pix]
+            T = T * np.prod(1.0 - a, axis=0)
     print(f"chunk-granule analysis over {len(tiles)} tiles, "
           f"{total_chunks} chunks (pad fraction "
           f"{pad_slots / max(total_slots, 1):.3f}):")
-    print(f"  skippable (chunk,128-px-granule) fraction: "
+    print(f"  whole-chunk skips by the EXISTING tile-saturation exit: "
+          f"{skipped_chunks / max(total_chunks, 1):.4f}")
+    print(f"  additional (chunk,128-px-granule) pairs fully SATURATED "
+          f"before the chunk: {done_gran / max(total_gran, 1):.4f}")
+    print(f"  skippable by LIVENESS (no chunk member reaches granule): "
           f"{dead_gran / max(total_gran, 1):.4f}")
-    print("  (a granule = 2 tile rows at 64x16; skipping needs ALL "
+    print("  (a granule = 2 tile rows at 64x16; liveness skip needs ALL "
           f"{args.chunk} chunk members dead there)")
 
 
