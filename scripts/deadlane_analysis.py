@@ -129,18 +129,20 @@ def main():
         return q <= r_a2[g][:, None]
 
     # --- (1)+(2): per-duplicate coverage on a random duplicate sample ---
-    samp = rng.choice(num_dup, min(args.sample, num_dup), replace=False)
-    fracs = np.empty(len(samp), np.float32)
-    bs = 20_000
-    for i in range(0, len(samp), bs):
-        fracs[i:i + bs] = live_mask(samp[i:i + bs]).mean(1)
-    print(f"per-duplicate live-pixel fraction over {tx}x{ty} tiles:")
-    print(f"  mean {fracs.mean():.4f} (dead-lane fraction "
-          f"{1 - fracs.mean():.4f})")
-    for q in (10, 25, 50, 75, 90, 99):
-        print(f"  p{q}: {np.percentile(fracs, q):.4f}")
-    print(f"  fully dead (exact ellipse misses tile): "
-          f"{(fracs == 0).mean():.4f}")
+    if args.sample > 0:
+        samp = rng.choice(num_dup, min(args.sample, num_dup),
+                          replace=False)
+        fracs = np.empty(len(samp), np.float32)
+        bs = 20_000
+        for i in range(0, len(samp), bs):
+            fracs[i:i + bs] = live_mask(samp[i:i + bs]).mean(1)
+        print(f"per-duplicate live-pixel fraction over {tx}x{ty} tiles:")
+        print(f"  mean {fracs.mean():.4f} (dead-lane fraction "
+              f"{1 - fracs.mean():.4f})")
+        for q in (10, 25, 50, 75, 90, 99):
+            print(f"  p{q}: {np.percentile(fracs, q):.4f}")
+        print(f"  fully dead (exact ellipse misses tile): "
+              f"{(fracs == 0).mean():.4f}", flush=True)
 
     # --- (3): per-(chunk, 128-px granule) skippable fraction, plus the
     # SATURATION simulation: which chunks does the existing whole-tile
@@ -157,31 +159,27 @@ def main():
     pad_slots = 0
     total_slots = 0
 
-    def alpha_of(dups):
+    def q_of(dups):
         g = g_of_dup[dups]
         ox = (tile_x_of[dups] * tx).astype(np.float32)
         oy = (tile_y_of[dups] * ty).astype(np.float32)
         dx = (ox[:, None] + px[None, :]) - xy[g, 0][:, None]
         dy = (oy[:, None] + py[None, :]) - xy[g, 1][:, None]
-        q = (conic[g, 0][:, None] * dx * dx
-             + 2 * conic[g, 1][:, None] * dx * dy
-             + conic[g, 2][:, None] * dy * dy)
-        a = np.minimum(opa[g][:, None] * np.exp(-0.5 * q), 0.99)
-        return np.where(a < 1.0 / 255.0, 0.0, a)
+        return (conic[g, 0][:, None] * dx * dx
+                + 2 * conic[g, 1][:, None] * dx * dy
+                + conic[g, 2][:, None] * dy * dy), g
 
     for t in tiles:
         dups = np.nonzero(tile_of == t)[0]
         if not len(dups):
             continue
         dups = dups[np.argsort(depth[g_of_dup[dups]], kind="stable")]
-        lm = live_mask(dups)                       # [n_t, n_pix]
-        gran_live = lm.reshape(len(dups), n_gran, 128).any(2)
         n_chunks = -(-len(dups) // args.chunk)
         pad_slots += n_chunks * args.chunk - len(dups)
         total_slots += n_chunks * args.chunk
         T = np.ones(n_pix, np.float32)
         for c in range(n_chunks):
-            sl = slice(c * args.chunk, (c + 1) * args.chunk)
+            sl = dups[c * args.chunk:(c + 1) * args.chunk]
             done = T < 1e-4                        # before this chunk
             total_chunks += 1
             total_gran += n_gran
@@ -190,9 +188,12 @@ def main():
                 done_gran += n_gran
                 continue
             done_gran += int(done.reshape(n_gran, 128).all(1).sum())
-            seg = gran_live[sl]
-            dead_gran += int((~seg.any(0)).sum())
-            a = alpha_of(dups[sl])                 # [<=chunk, n_pix]
+            q, g = q_of(sl)                        # ONE eval per chunk
+            live = q <= r_a2[g][:, None]
+            dead_gran += int(
+                (~live.reshape(len(sl), n_gran, 128).any(2).any(0)).sum())
+            a = np.minimum(opa[g][:, None] * np.exp(-0.5 * q), 0.99)
+            a = np.where(a < 1.0 / 255.0, 0.0, a)
             T = T * np.prod(1.0 - a, axis=0)
     print(f"chunk-granule analysis over {len(tiles)} tiles, "
           f"{total_chunks} chunks (pad fraction "
