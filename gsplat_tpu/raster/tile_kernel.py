@@ -106,10 +106,11 @@ CPAD = 4       # inference image channel padding (bf16 DMA slice alignment)
 CTPAD = 8      # training packed color+T rows (f32 DMA sublane alignment)
 
 
-def _basis_t(n_pix: int, tile_x: int):
+def _basis_t(n_pix: int, tile_x: int, offset: int = 0):
     """Local-pixel-coordinate basis [6, N_PIX] f32 (pixels on lanes):
-    rows (px^2, py^2, px*py, px, py, 1) — the quadratic-form monomials."""
-    idx = lax.broadcasted_iota(jnp.int32, (1, n_pix), 1)
+    rows (px^2, py^2, px*py, px, py, 1) — the quadratic-form monomials.
+    ``offset`` shifts the lane->pixel mapping (granule sub-blocks)."""
+    idx = lax.broadcasted_iota(jnp.int32, (1, n_pix), 1) + offset
     px = (idx % tile_x).astype(jnp.float32)
     py = (idx // tile_x).astype(jnp.float32)
     return jnp.concatenate(
@@ -244,13 +245,30 @@ def _power_terms(feat, basis_t, ox, oy, exact: bool = True):
     return power, x, y, a, b, c
 
 
-def _alphas(feat, basis_t, t_in, done_in, ox, oy):
-    """Shared training-path forward math: per-(gaussian, pixel)
-    alpha/transmittance, all arrays (CHUNK, N_PIX) with pixels on lanes.
+def _alphas_pre(feat, ox, oy):
+    """Per-sub-chunk gaussian-side preparation shared by every lane slice:
+    the (CHUNK, 1) transposes of the raw feature rows (each transpose is a
+    sublane relayout — hoisted so the granule path pays them once per
+    sub-chunk, not once per granule)."""
+    feat = feat.astype(jnp.float32)  # bf16 inference stream upcasts here
+    x = feat[0:1, :] - ox
+    y = feat[1:2, :] - oy
+    a = feat[2:3, :]
+    b = feat[3:4, :]
+    c = feat[4:5, :]
+    opa = feat[5:6, :]
+    return dict(x=x, y=y, a=a, b=b, c=c, opa=opa, rgb=feat[6:9, :],
+                xt=jnp.transpose(x), yt=jnp.transpose(y),
+                at=jnp.transpose(a), bt=jnp.transpose(b),
+                ct=jnp.transpose(c), opa_c=jnp.transpose(opa))
 
-    feat: (NUM_FEAT, CHUNK) raw rows; t_in: (1, N_PIX) carried
-    transmittance (the reference's per-pixel T, forward.cu:301); done_in:
-    (1, N_PIX) carried 0/1 saturation latch; ox/oy: scalar tile origin.
+
+def _alphas_slice(pre, px, py, t_in, done_in):
+    """Forward compositing math on one lane slice: per-(gaussian, pixel)
+    alpha/transmittance, arrays (CHUNK, W) with the slice's W pixels on
+    lanes. ``px``/``py`` are the slice's (1, W) local pixel coordinates;
+    ``t_in``/``done_in`` the slice's carried transmittance / saturation
+    latch rows.
 
     Stop rule EXACTLY as renderCUDA (forward.cu:347-352): a contribution
     composites iff T * (1 - alpha) >= 1e-4 AND the pixel has not already
@@ -263,12 +281,12 @@ def _alphas(feat, basis_t, t_in, done_in, ox, oy):
     The carried T (CUDA's frozen final_T) is the LAST still-gated
     post-alpha product, recovered with a masked min.
     """
-    feat = feat.astype(jnp.float32)  # bf16 inference stream upcasts here
-    power, x, y, a, b, c = _power_terms(feat, basis_t, ox, oy)
-    opa = feat[5:6, :]                       # (1, CHUNK)
-    opa_c = jnp.transpose(opa)               # (CHUNK, 1) for lane broadcast
+    dx = px - pre["xt"]           # (CHUNK, W)
+    dy = py - pre["yt"]
+    power = (-0.5 * (pre["at"] * dx * dx + pre["ct"] * dy * dy)
+             - pre["bt"] * dx * dy)
     g_exp = jnp.exp(power)
-    alpha = jnp.minimum(ALPHA_MAX, opa_c * g_exp)
+    alpha = jnp.minimum(ALPHA_MAX, pre["opa_c"] * g_exp)
     alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
     log1m = jnp.log1p(-alpha)  # exact 0 at alpha == 0
     t_g = t_in * jnp.exp(_scan_cols(log1m, exclusive=True))
@@ -282,10 +300,18 @@ def _alphas(feat, basis_t, t_in, done_in, ox, oy):
         t_in)
     done_new = jnp.maximum(done_in,
                            (t_after[-1:, :] < T_EPS).astype(jnp.float32))
-    rgb = feat[6:9, :]
     return dict(power=power, g_exp=g_exp, alpha=alpha, t_g=t_g, gate=gate,
-                w=w, rgb=rgb, opa=opa, t_new=t_new, done_new=done_new,
-                x=x, y=y, a=a, b=b, c=c)
+                w=w, t_new=t_new, done_new=done_new)
+
+
+def _alphas(feat, basis_t, t_in, done_in, ox, oy):
+    """Full-width training-path forward math (see _alphas_slice for the
+    semantics): (CHUNK, N_PIX) arrays, pixels on lanes."""
+    pre = _alphas_pre(feat, ox, oy)
+    v = _alphas_slice(pre, basis_t[3:4, :], basis_t[4:5, :], t_in, done_in)
+    v.update(rgb=pre["rgb"], opa=pre["opa"], x=pre["x"], y=pre["y"],
+             a=pre["a"], b=pre["b"], c=pre["c"])
+    return v
 
 
 def _decode(chunk_meta, k):
@@ -293,9 +319,35 @@ def _decode(chunk_meta, k):
     return meta >> 2, (meta >> 1) & 1, meta & 1  # tile, first, last
 
 
+# Saturation-retirement granule: 128 lanes (one vreg row of pixels; 2 tile
+# rows at 64-wide tiles). Within a tile, transmittance is monotone
+# non-increasing, so once every pixel of a granule latches ``done`` the
+# granule NEVER reopens — later chunks can skip its lanes entirely. The
+# whole-tile early-exit misses this on clustered scenes (hot tiles whose
+# patchy coverage never completes the FULL tile measured 21 ns/slot vs
+# 3.8 uniform; see RESULTS round-5 clustered-workload trace). The kernels
+# run full-width (one wide op per sub-chunk) until the first granule
+# retires, then switch the tile into granule mode: per-granule bodies
+# guarded on an SMEM liveness latch. (Skip fractions per workload: see
+# scripts/deadlane_analysis.py and the RESULTS saturation table.)
+GRAN = 128
+
+
+def _n_gran(n_pix: int) -> int:
+    """Granules per tile (1 = granule mode disabled: tile too small)."""
+    return n_pix // GRAN if n_pix % GRAN == 0 and n_pix >= 2 * GRAN else 1
+
+
+def _pxy(width: int, tile_x: int, offset: int):
+    """(1, width) local pixel coordinates for lanes [offset, offset+width)."""
+    idx = lax.broadcasted_iota(jnp.int32, (1, width), 1) + offset
+    return (idx % tile_x).astype(jnp.float32), (idx // tile_x).astype(
+        jnp.float32)
+
+
 def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref, used_ref,
                 acc_ref, tcar_ref, done_ref, stage_ref, live_ref, busy_ref,
-                pend_ref, sems,
+                pend_ref, glive_ref, mode_ref, sems,
                 *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
                 num_tiles: int, chunk: int, super_chunks: int = SUPER):
     """Training forward, SUPER sub-chunks per grid step (per-grid-step
@@ -348,6 +400,7 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref, used_ref,
         pend_ref[slot] = tile
         busy_ref[2] = busy_ref[2] + 1
 
+    n_gran = _n_gran(n_pix)
     for j in range(super_chunks):
         tile, first, last = _decode(chunk_meta, k * super_chunks + j)
         ox = ((tile % grid_x) * tile_x).astype(jnp.float32)
@@ -360,10 +413,19 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref, used_ref,
             tcar_ref[...] = jnp.ones_like(tcar_ref)
             done_ref[...] = jnp.zeros_like(done_ref)
             live_ref[0] = 1
+            mode_ref[0] = 0
 
         # Early exit: once every pixel in this tile has latched ``done``,
         # later chunks contribute nothing (tile-level forward.cu:310-312).
-        @pl.when(is_real & (live_ref[0] != 0))
+        # Full-width path: one wide op per sub-chunk, until the first
+        # 128-lane granule fully saturates (see GRAN). The SMEM latches are
+        # read ONCE before both bodies: the full body flips ``mode`` on
+        # transition, and a read at the granule-path predicate would see
+        # the NEW value and double-composite the same sub-chunk.
+        live0 = live_ref[0]
+        gmode = mode_ref[0]
+
+        @pl.when(is_real & (live0 != 0) & (gmode == 0))
         def _(j=j, ox=ox, oy=oy):
             basis_t = _basis_t(n_pix, tile_x)
             v = _alphas(feat_ref[:, j * chunk:(j + 1) * chunk], basis_t,
@@ -382,7 +444,66 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref, used_ref,
             tcar_ref[...] = v["t_new"]
             done_new = v["done_new"]
             done_ref[...] = done_new
-            live_ref[0] = (jnp.min(done_new) < 0.5).astype(jnp.int32)
+            if n_gran > 1:
+                # per-granule saturation census: m[g] == 1 iff granule g is
+                # fully done. Enter granule mode only once >= HALF the
+                # granules have retired while the tile is still live: the
+                # granule path's skinny ops run ~2x the per-lane cost of
+                # the wide path (measured 203 vs 142.5 ms/it on the 1M
+                # clustered workload with a retire-ONE trigger), so flipping
+                # early pays the overhead on mostly-live lanes. The G/2
+                # threshold guarantees >= 50% lane skip at the flip and the
+                # skip only grows (retirement is monotone). glive starts
+                # all-1; each retired granule costs ONE wasted evaluation
+                # before its own body latches glive=0 — avoids extracting
+                # m lanes to SMEM.
+                m = jnp.min(done_new.reshape(n_gran, GRAN), axis=1,
+                            keepdims=True)
+                live_ref[0] = (jnp.min(m) < 0.5).astype(jnp.int32)
+                n_ret = jnp.sum((m >= 0.5).astype(jnp.int32))
+
+                @pl.when((n_ret >= n_gran - n_gran // 2)
+                         & (jnp.min(m) < 0.5))
+                def _():
+                    mode_ref[0] = 1
+                    for g in range(n_gran):
+                        glive_ref[g] = 1
+            else:
+                live_ref[0] = (jnp.min(done_new) < 0.5).astype(jnp.int32)
+
+        if n_gran > 1:
+            # Granule path: retired granules' lanes are skipped entirely.
+            @pl.when(is_real & (live0 != 0) & (gmode == 1))
+            def _(j=j, ox=ox, oy=oy):
+                pre = _alphas_pre(feat_ref[:, j * chunk:(j + 1) * chunk],
+                                  ox, oy)
+                used_ref[0:1, j * chunk:(j + 1) * chunk] = jnp.zeros(
+                    (1, chunk), jnp.float32)
+                for g in range(n_gran):
+                    @pl.when(glive_ref[g] != 0)
+                    def _(g=g):
+                        sl = slice(g * GRAN, (g + 1) * GRAN)
+                        px, py = _pxy(GRAN, tile_x, g * GRAN)
+                        v = _alphas_slice(pre, px, py, tcar_ref[:, sl],
+                                          done_ref[:, sl])
+                        contrib = _dot_hl(pre["rgb"], v["w"],
+                                          (((1,), (0,)), ((), ())))
+                        acc_ref[:, sl] = acc_ref[:, sl] + contrib
+                        ones_row = jnp.ones((1, GRAN), jnp.bfloat16)
+                        hit = (v["w"] > 0.0).astype(jnp.bfloat16)
+                        cnt = lax.dot_general(
+                            ones_row, hit, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        used_ref[0:1, j * chunk:(j + 1) * chunk] = (
+                            used_ref[0:1, j * chunk:(j + 1) * chunk] + cnt)
+                        tcar_ref[:, sl] = v["t_new"]
+                        done_ref[:, sl] = v["done_new"]
+                        glive_ref[g] = (jnp.min(v["done_new"])
+                                        < 0.5).astype(jnp.int32)
+                alive = glive_ref[0]
+                for g in range(1, n_gran):
+                    alive = alive | glive_ref[g]
+                live_ref[0] = alive
 
         @pl.when(is_real & (last != 0))
         def _():
@@ -404,7 +525,7 @@ def _fwd_kernel(chunk_meta, feat_ref, ct_init_ref, ct_ref, used_ref,
 
 def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
                 tcar_ref, accum_ref, done_ref, dstage_ref, busy_ref,
-                pend_ref, tlive_ref, sems,
+                pend_ref, tlive_ref, glive_ref, mode_ref, sems,
                 *, n_pix: int, tile_x: int, tile_y: int, grid_x: int,
                 num_tiles: int, chunk: int, n_chunks: int,
                 super_chunks: int = SUPER):
@@ -440,6 +561,7 @@ def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
                 sems.at[0]).start()
             pend_ref[0] = 1
 
+    n_gran = _n_gran(n_pix)
     for j in range(super_chunks):
         idx = k * super_chunks + j
         tile, first, last = _decode(chunk_meta, idx)
@@ -458,13 +580,17 @@ def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
             accum_ref[...] = jnp.zeros_like(accum_ref)
             done_ref[...] = jnp.zeros_like(done_ref)
             tlive_ref[0] = 1
+            mode_ref[0] = 0
 
         # tile-saturation latch in SMEM, maintained by the previous live
         # sub-chunk — re-reducing the VMEM ``done`` vector per sub-chunk
-        # measured 4.3 ms at 44k chunks on the render kernel
+        # measured 4.3 ms at 44k chunks on the render kernel. ``mode`` is
+        # read ONCE before both bodies (same transition hazard as the
+        # forward kernel: the mode-0 body flips it mid-sub-chunk).
         saturated = jnp.logical_not(is_real) | (tlive_ref[0] == 0)
+        gmode = mode_ref[0]
 
-        @pl.when(jnp.logical_not(saturated))
+        @pl.when(jnp.logical_not(saturated) & (gmode == 0))
         def _(j=j, ox=ox, oy=oy, slot=slot):
             basis_t = _basis_t(n_pix, tile_x)
             feat = feat_ref[:, j * chunk:(j + 1) * chunk]
@@ -520,8 +646,88 @@ def _bwd_kernel(chunk_meta, feat_ref, dpack_ref, dfeat_ref,
 
             tcar_ref[...] = v["t_new"][None]
             accum_ref[...] = cum_in[-1:, :][None]
-            done_ref[...] = v["done_new"][None]
-            tlive_ref[0] = (jnp.min(v["done_new"]) < 0.5).astype(jnp.int32)
+            done_new = v["done_new"]
+            done_ref[...] = done_new[None]
+            if n_gran > 1:
+                # Granule saturation census with the G/2 retire threshold
+                # (see GRAN / the forward kernel).
+                m = jnp.min(done_new.reshape(n_gran, GRAN), axis=1,
+                            keepdims=True)
+                tlive_ref[0] = (jnp.min(m) < 0.5).astype(jnp.int32)
+                n_ret = jnp.sum((m >= 0.5).astype(jnp.int32))
+
+                @pl.when((n_ret >= n_gran - n_gran // 2)
+                         & (jnp.min(m) < 0.5))
+                def _():
+                    mode_ref[0] = 1
+                    for g in range(n_gran):
+                        glive_ref[g] = 1
+            else:
+                tlive_ref[0] = (jnp.min(done_new) < 0.5).astype(jnp.int32)
+
+        if n_gran > 1:
+            @pl.when(jnp.logical_not(saturated) & (gmode == 1))
+            def _(j=j, ox=ox, oy=oy, slot=slot):
+                pre = _alphas_pre(feat_ref[:, j * chunk:(j + 1) * chunk],
+                                  ox, oy)
+                dfeat_ref[:, j * chunk:(j + 1) * chunk] = jnp.zeros(
+                    (NUM_FEAT, chunk), jnp.float32)
+                for g in range(n_gran):
+                    @pl.when(glive_ref[g] != 0)
+                    def _(g=g):
+                        sl = slice(g * GRAN, (g + 1) * GRAN)
+                        px, py = _pxy(GRAN, tile_x, g * GRAN)
+                        v = _alphas_slice(pre, px, py, tcar_ref[0, :, sl],
+                                          done_ref[0, :, sl])
+                        dc = dstage_ref[slot, 0, 0:3, sl]
+                        d_tot = dstage_ref[slot, 0, 3:4, sl]
+                        a_pg = _dot_hl(pre["rgb"], dc,
+                                       (((0,), (0,)), ((), ())))
+                        aw = a_pg * v["w"]
+                        cum_in = (accum_ref[0, :, sl]
+                                  + _scan_cols(aw, exclusive=False))
+                        s = d_tot - cum_in
+                        alpha = v["alpha"]
+                        live = (alpha > 0.0).astype(jnp.float32)
+                        dalpha = ((a_pg * v["t_g"] - s / (1.0 - alpha))
+                                  * v["gate"] * live)
+                        de = dalpha * v["g_exp"]
+                        dpower = de * pre["opa_c"]
+                        basis_g = _basis_t(GRAN, tile_x, offset=g * GRAN)
+                        dcoeff = _dot_hl(basis_g, dpower,
+                                         (((1,), (1,)), ((), ())))
+                        d0, d1, d2, d3, d4, d5 = (
+                            dcoeff[i:i + 1, :] for i in range(6))
+                        x, y = pre["x"], pre["y"]
+                        a, b, c = pre["a"], pre["b"], pre["c"]
+                        da = -0.5 * d0 + x * d3 - 0.5 * (x * x) * d5
+                        db = -d2 + y * d3 + x * d4 - (x * y) * d5
+                        dc_ = -0.5 * d1 + y * d4 - 0.5 * (y * y) * d5
+                        dx = a * d3 + b * d4 - (a * x + b * y) * d5
+                        dy = b * d3 + c * d4 - (c * y + b * x) * d5
+                        drgb = _dot_hl(dc, v["w"], (((1,), (1,)), ((), ())))
+                        ones_row = jnp.ones((1, GRAN), jnp.bfloat16)
+                        rhi, rlo = _split_hi_lo(de)
+                        dopa_dims = (((1,), (1,)), ((), ()))
+                        dopa = (lax.dot_general(
+                            ones_row, rhi, dopa_dims,
+                            preferred_element_type=jnp.float32)
+                            + lax.dot_general(
+                                ones_row, rlo, dopa_dims,
+                                preferred_element_type=jnp.float32))
+                        dfeat_ref[:, j * chunk:(j + 1) * chunk] = (
+                            dfeat_ref[:, j * chunk:(j + 1) * chunk]
+                            + jnp.concatenate(
+                                [dx, dy, da, db, dc_, dopa, drgb], axis=0))
+                        tcar_ref[0, :, sl] = v["t_new"]
+                        accum_ref[0, :, sl] = cum_in[-1:, :]
+                        done_ref[0, :, sl] = v["done_new"]
+                        glive_ref[g] = (jnp.min(v["done_new"])
+                                        < 0.5).astype(jnp.int32)
+                alive = glive_ref[0]
+                for g in range(1, n_gran):
+                    alive = alive | glive_ref[g]
+                tlive_ref[0] = alive
 
         @pl.when(saturated)
         def _(j=j):
@@ -586,6 +792,8 @@ def _forward(feat, chunk_meta, num_tiles: int, n_pix: int,
             pltpu.SMEM((1,), jnp.int32),                  # live flag
             pltpu.SMEM((3,), jnp.int32),                  # busy x2 + ctr
             pltpu.SMEM((2,), jnp.int32),                  # pending tile
+            pltpu.SMEM((_n_gran(n_pix),), jnp.int32),     # granule liveness
+            pltpu.SMEM((1,), jnp.int32),                  # granule mode
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -799,6 +1007,8 @@ def _backward(feat, chunk_meta, ct, dct,
             pltpu.SMEM((1,), jnp.int32),                   # tile counter
             pltpu.SMEM((2,), jnp.int32),                   # pending flags
             pltpu.SMEM((1,), jnp.int32),                   # saturation latch
+            pltpu.SMEM((_n_gran(n_pix),), jnp.int32),      # granule liveness
+            pltpu.SMEM((1,), jnp.int32),                   # granule mode
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
